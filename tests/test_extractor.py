@@ -1,0 +1,196 @@
+"""Orientation/descriptor oracle tests + end-to-end extractor behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vo_slam_test_tpu.camera import Camera
+from vo_slam_test_tpu.config import SlamConfig
+from vo_slam_test_tpu.frontend.distribute import distribute_octtree
+from vo_slam_test_tpu.frontend.extractor import OrbExtractor
+from vo_slam_test_tpu.ops import brief, hamming, orientation, pattern
+from vo_slam_test_tpu.ops.pyramid import HALO, PyramidSpec, build_pyramid
+
+
+def oracle_ic_angle(img, kps):
+    """Literal intensity-centroid implementation (independent re-derivation)."""
+    umax = pattern.umax_table()
+    out = []
+    for (y, x) in kps:
+        m01 = m10 = 0.0
+        for v in range(-15, 16):
+            for u in range(-umax[abs(v)], umax[abs(v)] + 1):
+                val = float(img[y + v, x + u])
+                m10 += u * val
+                m01 += v * val
+        a = np.degrees(np.arctan2(m01, m10))
+        out.append(a + 360.0 if a < 0 else a)
+    return np.array(out)
+
+
+def oracle_descriptor(img_blur, y, x, angle_deg):
+    """Literal steered-rBRIEF implementation."""
+    p = pattern.bit_pattern_31()
+    a = np.cos(np.radians(angle_deg))
+    b = np.sin(np.radians(angle_deg))
+    bits = np.zeros(256, np.uint8)
+    for i in range(256):
+        x1, y1, x2, y2 = p[i]
+        rx1 = int(np.rint(x1 * a - y1 * b)); ry1 = int(np.rint(x1 * b + y1 * a))
+        rx2 = int(np.rint(x2 * a - y2 * b)); ry2 = int(np.rint(x2 * b + y2 * a))
+        bits[i] = img_blur[y + ry1, x + rx1] < img_blur[y + ry2, x + rx2]
+    words = np.zeros(8, np.uint32)
+    for i in range(256):
+        words[i // 32] |= np.uint32(int(bits[i]) << (i % 32))
+    return words
+
+
+@pytest.fixture(scope="module")
+def frame0(synthetic_seq):
+    return synthetic_seq[0]
+
+
+class TestOrientation:
+    def test_vs_oracle(self, frame0):
+        gray, _, _ = frame0
+        spec = PyramidSpec(640, 480, 1, 1.2)
+        pyr = build_pyramid(jnp.asarray(gray), spec)
+        rng = np.random.default_rng(0)
+        ys = rng.integers(20, 460, 40)
+        xs = rng.integers(20, 620, 40)
+        ours = np.asarray(
+            orientation.ic_angle(
+                pyr.raw, jnp.zeros(40, jnp.int32), jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32)
+            )
+        )
+        ref = oracle_ic_angle(gray.astype(np.float32), list(zip(ys, xs)))
+        diff = np.abs(ours - ref)
+        diff = np.minimum(diff, 360 - diff)
+        assert diff.max() < 0.1, diff.max()
+
+
+class TestBrief:
+    def test_vs_oracle(self, frame0):
+        gray, _, _ = frame0
+        spec = PyramidSpec(640, 480, 1, 1.2)
+        pyr = build_pyramid(jnp.asarray(gray), spec)
+        blur_full = np.asarray(pyr.blur[0])  # haloed canvas
+        rng = np.random.default_rng(1)
+        n = 30
+        ys = rng.integers(25, 455, n)
+        xs = rng.integers(25, 615, n)
+        angles = rng.uniform(0, 360, n).astype(np.float32)
+        ours = np.asarray(
+            brief.compute_descriptors(
+                pyr.blur,
+                jnp.zeros(n, jnp.int32),
+                jnp.asarray(ys, jnp.int32),
+                jnp.asarray(xs, jnp.int32),
+                jnp.asarray(angles),
+            )
+        )
+        for i in range(n):
+            ref = oracle_descriptor(blur_full, ys[i] + HALO, xs[i] + HALO, angles[i])
+            d = int(np.unpackbits((ours[i] ^ ref).view(np.uint8)).sum())
+            # float rint vs numpy rint both round-half-even; blur matches to
+            # ~2e-2 gray levels, so allow a couple of flipped bits at ties
+            assert d <= 2, (i, d)
+
+    def test_rotation_invariance(self, frame0):
+        """Descriptors of the same points with angle fed from IC should have
+        much smaller Hamming distance under in-plane rotation than random."""
+        import cv2
+
+        gray, _, _ = frame0
+        spec = PyramidSpec(640, 480, 1, 1.2)
+        M = cv2.getRotationMatrix2D((320, 240), 30.0, 1.0)
+        rot = cv2.warpAffine(gray, M, (640, 480))
+
+        pyr0 = build_pyramid(jnp.asarray(gray), spec)
+        pyr1 = build_pyramid(jnp.asarray(rot), spec)
+        rng = np.random.default_rng(2)
+        n = 60
+        pts = rng.uniform(150, 330, size=(n, 2)).astype(np.float32)  # central region
+        ones = np.ones((n, 1), np.float32)
+        pts_rot = (np.hstack([pts, ones]) @ M.T).astype(np.float32)
+
+        def desc_at(pyr, pts):
+            ys = jnp.asarray(np.rint(pts[:, 1]).astype(np.int32))
+            xs = jnp.asarray(np.rint(pts[:, 0]).astype(np.int32))
+            lv = jnp.zeros(n, jnp.int32)
+            ang = orientation.ic_angle(pyr.raw, lv, ys, xs)
+            return brief.compute_descriptors(pyr.blur, lv, ys, xs, ang)
+
+        d0 = desc_at(pyr0, pts)
+        d1 = desc_at(pyr1, pts_rot)
+        matched = np.asarray(hamming.hamming(d0, d1))
+        shuffled = np.asarray(hamming.hamming(d0, jnp.roll(d1, 7, axis=0)))
+        assert np.median(matched) < 55, np.median(matched)
+        assert np.median(shuffled) > 90, np.median(shuffled)
+
+
+class TestDistribute:
+    def test_spreads_points(self):
+        rng = np.random.default_rng(0)
+        # 500 clustered + 100 spread
+        xs = np.concatenate([rng.uniform(100, 140, 500), rng.uniform(16, 624, 100)]).astype(np.float32)
+        ys = np.concatenate([rng.uniform(100, 140, 500), rng.uniform(16, 464, 100)]).astype(np.float32)
+        resp = rng.uniform(1, 50, 600).astype(np.float32)
+        keep = distribute_octtree(xs, ys, resp, 16, 624, 16, 464, 200)
+        assert 150 <= keep.size <= 260
+        # the spread points survive disproportionately
+        spread_kept = (keep >= 500).sum()
+        assert spread_kept >= 80
+
+    def test_small_input_passthrough(self):
+        xs = np.array([10.0, 20.0]); ys = np.array([10.0, 30.0]); r = np.array([1.0, 2.0])
+        keep = distribute_octtree(xs, ys, r, 0, 100, 0, 100, 50)
+        assert set(keep) == {0, 1}
+
+
+class TestExtractorEndToEnd:
+    def test_synthetic_frame(self, frame0):
+        gray, depth, _ = frame0
+        cam = Camera.from_config(SlamConfig(camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0))
+        ext = OrbExtractor(cam, n_features=1000)
+        feats = ext(gray, depth)
+        v = np.asarray(feats.valid)
+        n = int(v.sum())
+        assert 700 <= n <= 1024, n
+        uv = np.asarray(feats.uv)[v]
+        assert uv[:, 0].min() >= 0 and uv[:, 0].max() < 640
+        # spatial spread: keypoints cover at least half the 8x8 coarse grid
+        occ = set(map(tuple, (uv // 80).astype(int)))
+        assert len(occ) >= 32, len(occ)
+        # all levels represented
+        assert len(set(np.asarray(feats.octave)[v])) >= 6
+        # depth populated for most points (synthetic has dense depth)
+        assert (np.asarray(feats.depth)[v] > 0).mean() > 0.9
+        # u_right consistency: u_und - bf/d
+        d = np.asarray(feats.depth)[v]
+        ur = np.asarray(feats.u_right)[v]
+        uu = np.asarray(feats.uv_und)[v][:, 0]
+        ok = d > 0
+        np.testing.assert_allclose(ur[ok], uu[ok] - float(cam.bf) / d[ok], atol=1e-3)
+        # descriptors are diverse
+        desc = np.asarray(feats.desc)[v]
+        assert len({tuple(r) for r in desc[:200]}) > 190
+
+    def test_matching_across_frames(self, synthetic_seq):
+        """Consecutive synthetic frames should produce many low-distance
+        mutual matches — the end-to-end signal tracking needs."""
+        cam = Camera.from_config(SlamConfig(camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0))
+        ext = OrbExtractor(cam, n_features=1000)
+        g0, d0, _ = synthetic_seq[0]
+        g1, d1, _ = synthetic_seq[1]
+        f0 = ext(g0, d0)
+        f1 = ext(g1, d1)
+        D = np.asarray(hamming.distance_matrix(f0.desc, f1.desc)).astype(np.float32)
+        v0 = np.asarray(f0.valid); v1 = np.asarray(f1.valid)
+        D[~v0] = 1e9
+        D[:, ~v1] = 1e9
+        best01 = D.argmin(1)
+        best10 = D.argmin(0)
+        mutual = [i for i in range(len(best01)) if v0[i] and best10[best01[i]] == i and D[i, best01[i]] < 50]
+        assert len(mutual) > 300, len(mutual)

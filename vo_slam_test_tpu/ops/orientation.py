@@ -1,0 +1,47 @@
+"""Intensity-centroid keypoint orientation (IC angle).
+
+Reference: ORBextractor.cpp:79-107 — moments m10 = sum(x * I), m01 = sum(y * I)
+over a radius-15 circular patch clipped row-wise by the umax table; angle =
+fastAtan2(m01, m10) in degrees [0, 360).
+
+TPU design: one batched 31x31 gather per keypoint set and two masked
+reductions — no per-keypoint loops. Angles use exact atan2 (OpenCV's
+fastAtan2 is a ~0.3 deg approximation; exactness can only improve matching).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pattern
+from .pyramid import HALO
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ic_angle(canvas: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Orientation in degrees [0, 360) for each keypoint.
+
+    canvas: [L, CH, CW] f32 raw haloed pyramid canvas.
+    level/ys/xs: [N] int32 keypoint level + *level-image* coordinates.
+    """
+    L, CH, CW = canvas.shape
+    hp = pattern.HALF_PATCH_SIZE
+    offs = jnp.arange(-hp, hp + 1, dtype=jnp.int32)
+    # gather indices into the flattened canvas
+    yy = ys[:, None] + HALO + offs[None, :]          # [N, 31]
+    xx = xs[:, None] + HALO + offs[None, :]          # [N, 31]
+    flat = canvas.reshape(-1)
+    idx = (level[:, None, None] * CH + yy[:, :, None]) * CW + xx[:, None, :]
+    patches = flat[idx.reshape(-1)].reshape(ys.shape[0], 2 * hp + 1, 2 * hp + 1)
+
+    mask = jnp.asarray(pattern.circular_patch_mask(), dtype=jnp.float32)
+    pm = patches * mask
+    xw = offs.astype(jnp.float32)
+    m10 = jnp.einsum("nij,j->n", pm, xw)
+    m01 = jnp.einsum("nij,i->n", pm, xw)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
