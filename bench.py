@@ -1,0 +1,56 @@
+"""Benchmark driver: single JSON line for the round harness.
+
+Measures steady-state per-frame tracking time (extract + match + pose solve)
+of the TPU pipeline on a synthetic 640x480 RGB-D sequence with the
+reference's fr1 configuration (1000 features, 8 levels).
+
+Baseline: the reference C++ tracks TUM fr1_room at ~0.070 s/frame on CPU
+(README.md "复现效果", images/FPS.png; BASELINE.md). vs_baseline is the
+speedup factor (baseline_ms / our_ms); > 1 means faster than the reference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS = 70.0
+
+
+def main():
+    from vo_slam_test_tpu.config import SlamConfig
+    from vo_slam_test_tpu.datasets import SyntheticRGBD
+    from vo_slam_test_tpu.pipeline.tracking import FrameToFrameTracker
+
+    n_frames = 40
+    seq = SyntheticRGBD(n_frames=n_frames, seed=0, motion_scale=0.4)
+    cfg = SlamConfig(
+        camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
+        camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+    )
+    frames = [seq[i] for i in range(n_frames)]
+
+    tracker = FrameToFrameTracker(cfg)
+    times = []
+    for i, (gray, depth, ts) in enumerate(frames):
+        t0 = time.perf_counter()
+        st = tracker.track(gray, depth, ts)
+        dt = time.perf_counter() - t0
+        if i >= 5:  # skip compile/warmup
+            times.append(dt)
+
+    ms = float(np.median(times) * 1000.0)
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_ms_per_frame",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""CLI driver: the vo_run equivalent (reference: test/vo_run.cpp).
+
+Usage:
+  python -m vo_slam_test_tpu.run_slam config.yaml          # TUM dataset run
+  python -m vo_slam_test_tpu.run_slam --synthetic [--frames N] [--motion S]
+
+Prints per-frame tracking state and timing stats (median/mean like
+vo_run.cpp:151-159), saves TUM-format trajectories, and reports ATE against
+ground truth when available (synthetic always has it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", nargs="?", help="OpenCV-style YAML (reference key set)")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--motion", type=float, default=0.5)
+    ap.add_argument("--camera-out", default="camera_trajectory.txt")
+    args = ap.parse_args(argv)
+
+    from .config import SlamConfig
+    from .datasets import SyntheticRGBD, TumDataset, write_trajectory_tum
+    from .datasets.tum import ate_rmse
+    from .pipeline.tracking import FrameToFrameTracker
+
+    gt = None
+    if args.synthetic:
+        seq = SyntheticRGBD(n_frames=args.frames, seed=0, motion_scale=args.motion)
+        cfg = SlamConfig(
+            camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
+            camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+        )
+        gt = np.stack([seq.poses[i] for i in range(len(seq))])
+    else:
+        if not args.config:
+            ap.error("either a config yaml or --synthetic is required")
+        cfg = SlamConfig.from_yaml(args.config)
+        seq = TumDataset(cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num)
+
+    tracker = FrameToFrameTracker(cfg)
+    times = []
+    n_ok = 0
+    for i in range(len(seq)):
+        gray, depth, ts = seq[i]
+        t0 = time.perf_counter()
+        st = tracker.track(gray, depth, ts)
+        dt = time.perf_counter() - t0
+        if i > 0:  # skip compile
+            times.append(dt)
+        n_ok += st.ok
+        print(
+            f"frame {i:4d} t={ts:9.3f} ok={int(st.ok)} feats={st.n_features:4d} "
+            f"matches={st.n_matches:4d} inliers={st.n_inliers:4d} {dt*1000:7.2f} ms"
+        )
+
+    times = np.array(times) if times else np.array([0.0])
+    print(f"tracked {n_ok}/{len(seq)} frames")
+    print(f"tracking time: median {np.median(times)*1000:.2f} ms  mean {times.mean()*1000:.2f} ms")
+
+    write_trajectory_tum(args.camera_out, tracker.timestamps, np.stack(tracker.trajectory))
+    print(f"camera trajectory saved to {args.camera_out}")
+
+    if gt is not None:
+        rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, np.stack(tracker.trajectory))
+        print(f"ATE RMSE vs ground truth: {rmse*100:.2f} cm")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
