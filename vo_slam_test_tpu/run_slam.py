@@ -25,12 +25,16 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--motion", type=float, default=0.5)
     ap.add_argument("--camera-out", default="camera_trajectory.txt")
+    ap.add_argument(
+        "--sync", action="store_true",
+        help="use the host-synchronous tracker (per-frame stats printed live)",
+    )
     args = ap.parse_args(argv)
 
     from .config import SlamConfig
     from .datasets import SyntheticRGBD, TumDataset, write_trajectory_tum
     from .datasets.tum import ate_rmse
-    from .pipeline.tracking import FrameToFrameTracker
+    from .pipeline.tracking import FrameToFrameTracker, FusedTracker
 
     gt = None
     if args.synthetic:
@@ -46,31 +50,47 @@ def main(argv=None):
         cfg = SlamConfig.from_yaml(args.config)
         seq = TumDataset(cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num)
 
-    tracker = FrameToFrameTracker(cfg)
-    times = []
-    n_ok = 0
-    for i in range(len(seq)):
-        gray, depth, ts = seq[i]
+    if args.sync:
+        tracker = FrameToFrameTracker(cfg)
+        times = []
+        stats = []
+        for i in range(len(seq)):
+            gray, depth, ts = seq[i]
+            t0 = time.perf_counter()
+            st = tracker.track(gray, depth, ts)
+            dt = time.perf_counter() - t0
+            if i > 0:  # skip compile
+                times.append(dt)
+            stats.append(st)
+            print(
+                f"frame {i:4d} t={ts:9.3f} ok={int(st.ok)} feats={st.n_features:4d} "
+                f"matches={st.n_matches:4d} inliers={st.n_inliers:4d} {dt*1000:7.2f} ms"
+            )
+        trajectory = np.stack(tracker.trajectory)
+        times = np.array(times) if times else np.array([0.0])
+        print(f"tracking time: median {np.median(times)*1000:.2f} ms  mean {times.mean()*1000:.2f} ms")
+    else:
+        tracker = FusedTracker(cfg)
         t0 = time.perf_counter()
-        st = tracker.track(gray, depth, ts)
-        dt = time.perf_counter() - t0
-        if i > 0:  # skip compile
-            times.append(dt)
-        n_ok += st.ok
-        print(
-            f"frame {i:4d} t={ts:9.3f} ok={int(st.ok)} feats={st.n_features:4d} "
-            f"matches={st.n_matches:4d} inliers={st.n_inliers:4d} {dt*1000:7.2f} ms"
-        )
+        for i in range(len(seq)):
+            gray, depth, ts = seq[i]
+            tracker.track(gray, depth, ts)
+        trajectory, stats = tracker.results()
+        wall = time.perf_counter() - t0
+        for i, st in enumerate(stats):
+            print(
+                f"frame {i:4d} ok={int(st.ok)} feats={st.n_features:4d} "
+                f"matches={st.n_matches:4d} inliers={st.n_inliers:4d}"
+            )
+        print(f"wall time: {wall/len(seq)*1000:.2f} ms/frame (incl. first-frame compile)")
 
-    times = np.array(times) if times else np.array([0.0])
+    n_ok = sum(s.ok for s in stats)
     print(f"tracked {n_ok}/{len(seq)} frames")
-    print(f"tracking time: median {np.median(times)*1000:.2f} ms  mean {times.mean()*1000:.2f} ms")
-
-    write_trajectory_tum(args.camera_out, tracker.timestamps, np.stack(tracker.trajectory))
+    write_trajectory_tum(args.camera_out, tracker.timestamps, trajectory)
     print(f"camera trajectory saved to {args.camera_out}")
 
     if gt is not None:
-        rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, np.stack(tracker.trajectory))
+        rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, trajectory)
         print(f"ATE RMSE vs ground truth: {rmse*100:.2f} cm")
     return 0
 

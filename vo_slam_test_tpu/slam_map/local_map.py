@@ -1,0 +1,196 @@
+"""trackLocalMap as fixed-shape device programs.
+
+Covers the reference's local-keyframe/point selection
+(visualOdometry.cpp:595-724), Frame::isInFrame frustum-distance-viewcos
+culling with scale prediction (frame.cpp:145-190, mappoint.cpp:182-199), and
+the local-map projection matcher with second-best ratio gating
+(matcher.cpp:274-353) — inverted into dense masked matrix ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..camera import Camera
+from ..ops import hamming
+from .map_state import MapState, covis_row_for
+
+MAX_LOCAL_PTS = 4096
+TH_HIGH = 100
+
+
+def local_keyframe_mask(m: MapState, curr_member: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """curr_member: [P] bool of map points matched in the current frame.
+
+    Returns (local_kf_mask [K] bool, ref_kf i32) — seed KFs observing any
+    matched point, each seed's best covisible neighbor, spanning parent, and
+    one child (visualOdometry.cpp:598-693; the reference's first-unvisited
+    iteration order is approximated by argmax selections).
+    """
+    counts = covis_row_for(m, curr_member)  # [K] shared with curr frame
+    seeds = counts > 0
+    ref_kf = jnp.argmax(counts).astype(jnp.int32)
+
+    K = counts.shape[0]
+    valid = m.kf_valid
+    covis = jnp.where(valid[None, :], m.covis, 0)
+    # best covisible neighbor of each seed
+    best_nb = jnp.argmax(covis, axis=1)
+    nb_ok = jnp.take_along_axis(covis, best_nb[:, None], axis=1)[:, 0] > 0
+    nb_mask = jnp.zeros((K,), bool).at[jnp.where(seeds & nb_ok, best_nb, K - 1)].set(seeds & nb_ok)
+    # parent of each seed
+    par = m.parent
+    par_ok = seeds & (par >= 0)
+    par_mask = jnp.zeros((K,), bool).at[jnp.where(par_ok, par, K - 1)].set(par_ok)
+    # one child of each seed (lowest id whose parent is the seed)
+    kf_ids = jnp.arange(K, dtype=jnp.int32)
+    child_of = jnp.where((par >= 0) & valid, par, -1)
+    is_child = (child_of[None, :] == kf_ids[:, None]) & seeds[:, None]  # [K seeds, K kids]
+    first_child = jnp.argmax(is_child, axis=1)
+    has_child = jnp.any(is_child, axis=1)
+    ch_mask = jnp.zeros((K,), bool).at[jnp.where(has_child, first_child, K - 1)].set(has_child)
+
+    local = (seeds | nb_mask | par_mask | ch_mask) & valid
+    return local, ref_kf
+
+
+def local_point_mask(m: MapState, local_kf: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool: points observed by any local keyframe."""
+    P = m.pt_valid.shape[0]
+    rows = local_kf[:, None] & (m.kf_mp >= 0)  # [K,N]
+    flat_pt = jnp.where(rows, m.kf_mp, P - 1).reshape(-1)
+    flat_on = rows.reshape(-1)
+    mask = jnp.zeros((P,), bool).at[flat_pt].max(flat_on)
+    return mask & m.pt_valid
+
+
+class FrustumInfo(NamedTuple):
+    in_frame: jnp.ndarray   # [P] bool (isInFrame result)
+    u: jnp.ndarray          # [P] projected u
+    v: jnp.ndarray
+    ur: jnp.ndarray         # [P] predicted right u
+    pred_level: jnp.ndarray  # [P] i32
+    view_cos: jnp.ndarray   # [P]
+
+
+def frustum_check(
+    m: MapState, T_c_w: jnp.ndarray, cam: Camera, scale_factors: jnp.ndarray
+) -> FrustumInfo:
+    """Frame::isInFrame over every map point (frame.cpp:145-190)."""
+    R = T_c_w[:3, :3]
+    t = T_c_w[:3, 3]
+    pc = m.pt_pos @ R.T + t
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * pc[:, 0] / safe_z + cam.cx
+    v = cam.fy * pc[:, 1] / safe_z + cam.cy
+    ow = -R.T @ t
+    line = m.pt_pos - ow
+    dist = jnp.linalg.norm(line, axis=-1)
+    view_cos = jnp.sum(line * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    ok = (
+        (z > 0)
+        & (u >= 0) & (u <= cam.width)
+        & (v >= 0) & (v <= cam.height)
+        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+        & (view_cos >= 0.5)
+        & m.pt_valid
+    )
+    # predictScale (mappoint.cpp:182-199): ceil(log(maxDist/d)/log(scale))
+    ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 0, scale_factors.shape[0] - 1)
+    ur = u - cam.bf / safe_z
+    return FrustumInfo(in_frame=ok, u=u, v=v, ur=ur, pred_level=lvl, view_cos=view_cos)
+
+
+class LocalMatch(NamedTuple):
+    assign: jnp.ndarray      # [N_kp] i32 map-point id (-1 none)
+    n_matches: jnp.ndarray   # i32
+    visible_mask: jnp.ndarray  # [P] bool — points that passed isInFrame (addVisible)
+
+
+def search_local_points(
+    m: MapState,
+    fr: FrustumInfo,
+    candidate_mask: jnp.ndarray,   # [P] bool: local & not already matched
+    tgt_uv_und: jnp.ndarray,
+    tgt_u_right: jnp.ndarray,
+    tgt_octave: jnp.ndarray,
+    tgt_desc: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    tgt_blocked: jnp.ndarray,      # [N] already bound to a real map point
+    scale_factors: jnp.ndarray,
+    th_radius,
+    ratio: float = 0.8,
+) -> LocalMatch:
+    """matcher.cpp:274-353 as a compacted [MAX_LOCAL_PTS x N] matrix search."""
+    P = m.pt_valid.shape[0]
+    N = tgt_valid.shape[0]
+    eligible = candidate_mask & fr.in_frame
+
+    # compact to MAX_LOCAL_PTS slots
+    pos = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+    slot = jnp.where(eligible & (pos < MAX_LOCAL_PTS), pos, MAX_LOCAL_PTS)
+    pt_ids = jnp.arange(P, dtype=jnp.int32)
+
+    def compact(vsrc, fill):
+        out = jnp.full((MAX_LOCAL_PTS + 1,) + vsrc.shape[1:], fill, vsrc.dtype)
+        return out.at[slot].set(vsrc)[:MAX_LOCAL_PTS]
+
+    c_id = compact(pt_ids, -1)
+    c_u = compact(fr.u, 0.0)
+    c_v = compact(fr.v, 0.0)
+    c_ur = compact(fr.ur, 0.0)
+    c_lvl = compact(fr.pred_level, 0)
+    c_cos = compact(fr.view_cos, 0.0)
+    c_desc = compact(m.pt_desc, jnp.uint32(0))
+    c_ok = c_id >= 0
+
+    r_base = jnp.where(c_cos > 0.998, 2.5, 4.0) * th_radius
+    r_scale = r_base * scale_factors[c_lvl]  # [M]
+
+    du = jnp.abs(tgt_uv_und[None, :, 0] - c_u[:, None])
+    dv = jnp.abs(tgt_uv_und[None, :, 1] - c_v[:, None])
+    window = (du < r_scale[:, None]) & (dv < r_scale[:, None])
+    oct_ok = (tgt_octave[None, :] >= (c_lvl - 1)[:, None]) & (tgt_octave[None, :] <= c_lvl[:, None])
+    stereo_ok = (tgt_u_right[None, :] <= 0) | (
+        jnp.abs(c_ur[:, None] - tgt_u_right[None, :]) <= r_scale[:, None]
+    )
+    allowed = window & oct_ok & stereo_ok & c_ok[:, None] & tgt_valid[None, :] & ~tgt_blocked[None, :]
+
+    D = hamming.distance_matrix(c_desc, tgt_desc)
+    BIG = jnp.int32(1 << 20)
+    D = jnp.where(allowed, D, BIG)
+
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    D2 = D.at[jnp.arange(D.shape[0]), best].set(BIG)
+    second = jnp.argmin(D2, axis=1).astype(jnp.int32)
+    second_d = jnp.take_along_axis(D2, second[:, None], axis=1)[:, 0]
+    lvl_best = tgt_octave[best]
+    lvl_second = tgt_octave[second]
+
+    matched = best_d <= TH_HIGH
+    ratio_fail = (lvl_best == lvl_second) & (
+        best_d.astype(jnp.float32) > ratio * second_d.astype(jnp.float32)
+    ) & (second_d < BIG)
+    matched &= ~ratio_fail
+
+    # per-target dedup: later source wins (reference assignment order)
+    src_ids = jnp.arange(MAX_LOCAL_PTS, dtype=jnp.int32)
+    tgt_slot = jnp.where(matched, best, N)
+    winner = (
+        jnp.full((N + 1,), -1, jnp.int32).at[tgt_slot].max(jnp.where(matched, src_ids, -1))[:N]
+    )
+    assign = jnp.where(winner >= 0, c_id[jnp.maximum(winner, 0)], -1)
+    return LocalMatch(
+        assign=assign,
+        n_matches=jnp.sum(matched.astype(jnp.int32)),
+        visible_mask=fr.in_frame & candidate_mask,
+    )

@@ -182,4 +182,7 @@ def solve_pose_only(
     def keep(_):
         return T1, inlier1, n1
 
-    return jax.lax.cond(n1 >= 10, round2, keep, None)
+    T_out, inlier_out, n_out = jax.lax.cond(n1 >= 10, round2, keep, None)
+    # keep the pose on the SE3 manifold: without this, f32 drift compounds
+    # exponentially through the motion-model inverse (see lie.orthonormalize)
+    return lie.orthonormalize(T_out), inlier_out, n_out
