@@ -1,0 +1,136 @@
+"""Local BA: synthetic multi-view scene with known ground truth."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vo_slam_test_tpu import lie
+from vo_slam_test_tpu.camera import Camera
+from vo_slam_test_tpu.config import SlamConfig
+from vo_slam_test_tpu.slam_map.map_state import MapCaps, empty_map
+from vo_slam_test_tpu.solvers.local_ba import build_problem, local_bundle_adjust
+
+CAPS = MapCaps(max_kf=16, max_pt=2048, max_obs=12, n_feat=256)
+
+
+def fabricate_map(n_kf=6, n_pt=400, noise_px=0.3, pose_noise=0.02, pt_noise=0.03, seed=0):
+    """Build a MapState holding a consistent multi-view scene, then perturb
+    poses (except KF0) and points. Returns (map, gt_poses, gt_points)."""
+    rng = np.random.default_rng(seed)
+    cam = Camera.from_config(SlamConfig(camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0))
+    fx, fy, cx, cy, bf = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy), float(cam.bf))
+
+    gt_pts = rng.uniform([-2, -1.5, 2.5], [2, 1.5, 6.0], size=(n_pt, 3)).astype(np.float32)
+    gt_poses = []
+    for k in range(n_kf):
+        xi = np.zeros(6, np.float32)
+        xi[:3] = rng.uniform(-0.3, 0.3, 3)
+        xi[3:] = rng.uniform(-0.05, 0.05, 3)
+        gt_poses.append(np.asarray(lie.se3_exp(jnp.asarray(xi))))
+    gt_poses = np.stack(gt_poses)
+
+    m = empty_map(CAPS)
+    md = {f: np.array(getattr(m, f)) for f in (
+        "kf_pose kf_valid kf_uv_und kf_octave kf_u_right kf_depth kf_kp_valid kf_mp "
+        "pt_pos pt_valid pt_obs_kf pt_obs_kp pt_obs_cnt covis".split())}
+
+    obs_per_kf = CAPS.n_feat
+    for k in range(n_kf):
+        T = gt_poses[k]
+        pc = gt_pts @ T[:3, :3].T + T[:3, 3]
+        u = fx * pc[:, 0] / pc[:, 2] + cx + rng.normal(0, noise_px, n_pt)
+        v = fy * pc[:, 1] / pc[:, 2] + cy + rng.normal(0, noise_px, n_pt)
+        vis = (pc[:, 2] > 0.2) & (u > 5) & (u < 635) & (v > 5) & (v < 475)
+        vis_idx = np.nonzero(vis)[0][:obs_per_kf]
+        md["kf_pose"][k] = T
+        md["kf_valid"][k] = True
+        for slot, p in enumerate(vis_idx):
+            md["kf_uv_und"][k, slot] = (u[p], v[p])
+            md["kf_octave"][k, slot] = 0
+            stereo = rng.uniform() < 0.5
+            md["kf_u_right"][k, slot] = (u[p] - bf / pc[p, 2] + rng.normal(0, noise_px)) if stereo else -1.0
+            md["kf_depth"][k, slot] = pc[p, 2] if stereo else -1.0
+            md["kf_kp_valid"][k, slot] = True
+            md["kf_mp"][k, slot] = p
+            cnt = md["pt_obs_cnt"][p]
+            if cnt < CAPS.max_obs:
+                md["pt_obs_kf"][p, cnt] = k
+                md["pt_obs_kp"][p, cnt] = slot
+            md["pt_obs_cnt"][p] += 1
+    md["pt_pos"][:n_pt] = gt_pts + rng.normal(0, pt_noise, (n_pt, 3))
+    md["pt_valid"][:n_pt] = True
+    # covisibility: all KFs share most points
+    md["covis"][:n_kf, :n_kf] = 200
+    np.fill_diagonal(md["covis"], 0)
+
+    # perturb poses except the first two (they act as the fixed anchor —
+    # window BA is gauge-free otherwise)
+    for k in range(1, n_kf):
+        xi = np.concatenate([rng.normal(0, pose_noise, 3), rng.normal(0, pose_noise / 2, 3)]).astype(np.float32)
+        md["kf_pose"][k] = np.asarray(lie.se3_exp(jnp.asarray(xi))) @ md["kf_pose"][k]
+
+    m = m.replace(
+        n_kf=jnp.asarray(n_kf, jnp.int32), n_pt=jnp.asarray(n_pt, jnp.int32),
+        **{f: jnp.asarray(vv) for f, vv in md.items()},
+    )
+    return m, gt_poses, gt_pts, cam
+
+
+def reproj_rmse(m, cam, n_kf, n_pt):
+    fx, fy, cx, cy = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+    kf_pose = np.array(m.kf_pose)
+    pt = np.array(m.pt_pos)
+    errs = []
+    kf_mp = np.array(m.kf_mp)
+    uv = np.array(m.kf_uv_und)
+    for k in range(n_kf):
+        sel = kf_mp[k] >= 0
+        pids = kf_mp[k][sel]
+        pc = pt[pids] @ kf_pose[k][:3, :3].T + kf_pose[k][:3, 3]
+        u = fx * pc[:, 0] / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        e = np.stack([u, v], -1) - uv[k][sel]
+        errs.append(e)
+    e = np.concatenate(errs)
+    return float(np.sqrt((e**2).sum(-1).mean()))
+
+
+class TestLocalBA:
+    def test_reduces_error_and_recovers_geometry(self):
+        m, gt_poses, gt_pts, cam = fabricate_map()
+        before = reproj_rmse(m, cam, 6, 400)
+        m2 = local_bundle_adjust(m, jnp.asarray(5, jnp.int32), CAPS, cam)
+        after = reproj_rmse(m2, cam, 6, 400)
+        assert after < before * 0.3, (before, after)
+        assert after < 1.0, after
+        # pose recovery: translation error well below the injected noise
+        est = np.array(m2.kf_pose)[:6]
+        terr = np.linalg.norm(est[:, :3, 3] - gt_poses[:, :3, 3], axis=1)
+        assert terr.max() < 0.01, terr
+
+    def test_build_problem_structure(self):
+        m, *_ , cam = fabricate_map()
+        prob = build_problem(m, jnp.asarray(5, jnp.int32), CAPS)
+        kf_ids = np.array(prob.kf_ids)
+        assert kf_ids[0] == 5  # center first
+        assert (kf_ids[:6] >= 0).sum() == 6  # all covisible KFs in window
+        assert int(np.array(prob.o_valid).sum()) > 1000
+        pt_ids = np.array(prob.pt_ids)
+        # union of the window's kf_mp entries (each KF holds <=256 slots)
+        expect = len({p for row in np.array(m.kf_mp)[:6] for p in row if p >= 0})
+        assert (pt_ids >= 0).sum() == expect
+
+    def test_outlier_observation_erased(self):
+        m, gt_poses, gt_pts, cam = fabricate_map(noise_px=0.2, pose_noise=0.01)
+        # corrupt one observation of point 7 in KF 3 massively
+        uv = np.array(m.kf_uv_und)
+        kf_mp = np.array(m.kf_mp)
+        slots = np.nonzero(kf_mp[3] == 7)[0]
+        if slots.size == 0:
+            pytest.skip("point 7 not observed in KF 3 for this seed")
+        uv[3, slots[0]] += 80.0
+        m = m.replace(kf_uv_und=jnp.asarray(uv))
+        obs_before = int(np.array(m.pt_obs_cnt)[7])
+        m2 = local_bundle_adjust(m, jnp.asarray(5, jnp.int32), CAPS, cam)
+        assert int(np.array(m2.kf_mp)[3, slots[0]]) == -1  # edge erased
+        assert int(np.array(m2.pt_obs_cnt)[7]) == obs_before - 1

@@ -30,3 +30,12 @@ import jax as _jax
 if _os.environ.get("VO_SLAM_TPU_NO_PRECISION_OVERRIDE", "0") != "1":
     _jax.config.update("jax_default_matmul_precision", "highest")
 
+# The per-frame SLAM step is one large fused program; persist compiled
+# artifacts across processes so CLIs/benchmarks don't pay a multi-minute
+# compile on every launch.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = _os.path.expanduser("~/.cache/jax_vo_slam_tpu")
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+

@@ -51,6 +51,9 @@ def insert_keyframe(
     create_mask: jnp.ndarray,  # [N] bool spawn-new-point slots (disjoint from assign)
     cam: Camera,
     scale_factors: jnp.ndarray,  # [L]
+    words: jnp.ndarray = None,       # [N] i32 BoW word per keypoint (-1)
+    bow_word: jnp.ndarray = None,    # [N] i32 sorted unique words
+    bow_weight: jnp.ndarray = None,  # [N] f32 normalized weights
 ) -> Tuple[MapState, jnp.ndarray]:
     """Returns (new map, kf_id)."""
     N = caps.n_feat
@@ -71,6 +74,12 @@ def insert_keyframe(
         kf_desc=m.kf_desc.at[kf_id].set(feats.desc),
         kf_kp_valid=m.kf_kp_valid.at[kf_id].set(feats.valid),
     )
+    if words is not None:
+        m = m.replace(
+            kf_word=m.kf_word.at[kf_id].set(words),
+            kf_bow_word=m.kf_bow_word.at[kf_id].set(bow_word),
+            kf_bow_weight=m.kf_bow_weight.at[kf_id].set(bow_weight),
+        )
 
     # ---- spawn new points --------------------------------------------------
     create = create_mask & feats.valid & (assign < 0)
@@ -113,7 +122,7 @@ def insert_keyframe(
     m = add_observations(m, jnp.maximum(row, 0), kf_id, kp_ids, row >= 0)
 
     # ---- covisibility + spanning tree -------------------------------------
-    member = jnp.zeros((P,), bool).at[jnp.maximum(row, 0)].set(row >= 0)
+    member = jnp.zeros((P,), bool).at[jnp.maximum(row, 0)].max(row >= 0)
     w = covis_row_for(m, member)
     w = w.at[kf_id].set(0)
     m = m.replace(covis=m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w))
@@ -122,7 +131,7 @@ def insert_keyframe(
     m = m.replace(parent=m.parent.at[kf_id].set(parent), n_kf=m.n_kf + 1)
 
     # ---- refresh normals/depth/descriptor of touched pre-existing points --
-    touched = jnp.zeros((P,), bool).at[jnp.maximum(assign, 0)].set(assign >= 0)
+    touched = jnp.zeros((P,), bool).at[jnp.maximum(assign, 0)].max(assign >= 0)
     m = refresh_points(m, touched, scale_factors)
     return m, kf_id
 

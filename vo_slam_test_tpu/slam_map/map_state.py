@@ -55,9 +55,15 @@ class MapState:
     kf_desc: jnp.ndarray       # [K,N,8] u32
     kf_kp_valid: jnp.ndarray   # [K,N] bool
     kf_mp: jnp.ndarray         # [K,N] i32 map-point id per keypoint (-1 none)
+    # -- bag of words (DBoW3 BowVector/FeatureVector roles, frame.h:47-49) --
+    kf_word: jnp.ndarray       # [K,N] i32 vocabulary word per keypoint (-1)
+    kf_bow_word: jnp.ndarray   # [K,N] i32 sorted unique words (PAD_WORD pad)
+    kf_bow_weight: jnp.ndarray  # [K,N] f32 L1-normalized tf-idf weights
     # -- covisibility / spanning tree (keyframe.h:34-43) --------------------
     covis: jnp.ndarray         # [K,K] i32 shared-point counts
     parent: jnp.ndarray        # [K] i32 spanning-tree parent (-1 root)
+    kf_tcp: jnp.ndarray        # [K,4,4] pose relative to parent at cull time
+                               # (keyframe.cpp:486 Tcp backup for recovery)
     # -- map points (mappoint.h:13-94) --------------------------------------
     pt_pos: jnp.ndarray        # [P,3] f32
     pt_normal: jnp.ndarray     # [P,3] f32
@@ -92,8 +98,12 @@ def empty_map(caps: MapCaps) -> MapState:
         kf_desc=f((K, N, 8), jnp.uint32),
         kf_kp_valid=f((K, N), bool),
         kf_mp=jnp.full((K, N), -1, jnp.int32),
+        kf_word=jnp.full((K, N), -1, jnp.int32),
+        kf_bow_word=jnp.full((K, N), 1 << 30, jnp.int32),
+        kf_bow_weight=f((K, N)),
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), -1, jnp.int32),
+        kf_tcp=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
         pt_pos=f((P, 3)),
         pt_normal=f((P, 3)),
         pt_desc=f((P, 8), jnp.uint32),
@@ -121,18 +131,20 @@ def add_observations(
 ) -> MapState:
     """Append (kf_id, kp) to each point's observer list (mappoint addObservation).
 
-    pt_ids/kp_ids/mask: [n]; observations beyond the per-point slot cap are
-    dropped (the count still increments so obs-based gates stay faithful).
+    pt_ids/kp_ids/mask: [n], at most one new observation per point per call
+    (true for keyframe insertion). The first free slot (obs_kf < 0) is used,
+    so lists tolerate holes left by BA observation erasure; observations
+    beyond the slot cap are dropped (the count still increments so
+    obs-based gates stay faithful).
     """
-    O = m.pt_obs_kf.shape[1]
-    safe_pt = jnp.where(mask, pt_ids, m.pt_obs_kf.shape[0] - 1)
-    slot = m.pt_obs_cnt[safe_pt]
-    in_cap = mask & (slot < O)
-    slot_c = jnp.minimum(slot, O - 1)
-    dump = ~in_cap
+    P, O = m.pt_obs_kf.shape
+    safe_pt = jnp.where(mask, pt_ids, P - 1)
+    free = m.pt_obs_kf[safe_pt] < 0  # [n, O]
+    slot = jnp.argmax(free, axis=1).astype(jnp.int32)
+    in_cap = mask & jnp.any(free, axis=1)
     # route dropped writes to a scratch coordinate (last point, last slot)
-    row = jnp.where(dump, m.pt_obs_kf.shape[0] - 1, safe_pt)
-    col = jnp.where(dump, O - 1, slot_c)
+    row = jnp.where(in_cap, safe_pt, P - 1)
+    col = jnp.where(in_cap, slot, O - 1)
     obs_kf = m.pt_obs_kf.at[row, col].set(
         jnp.where(in_cap, jnp.asarray(kf_id, jnp.int32), m.pt_obs_kf[row, col])
     )
