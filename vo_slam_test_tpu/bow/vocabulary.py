@@ -35,7 +35,7 @@ import numpy as np
 from ..ops import hamming
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class Vocabulary:
     k: int                      # branching factor
     levels: int                 # depth (words live at this level)
@@ -61,6 +61,17 @@ class Vocabulary:
         cents = [jnp.asarray(z[f"c{i}"]) for i in range(levels)]
         valid = [jnp.asarray(z[f"v{i}"]) for i in range(levels)]
         return cls(k=k, levels=levels, centroids=cents, idf=jnp.asarray(z["idf"]), node_valid=valid)
+
+
+# pytree registration so a Vocabulary can cross jit boundaries (k/levels
+# ride as static aux data)
+jax.tree_util.register_pytree_node(
+    Vocabulary,
+    lambda v: ((tuple(v.centroids), v.idf, tuple(v.node_valid)), (v.k, v.levels)),
+    lambda aux, ch: Vocabulary(
+        k=aux[0], levels=aux[1], centroids=list(ch[0]), idf=ch[1], node_valid=list(ch[2])
+    ),
+)
 
 
 def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

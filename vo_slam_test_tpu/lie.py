@@ -49,20 +49,25 @@ def _sinc_coeffs(theta2):
     half-angle identity 2 sin^2(t/2)/t^2 (no cancellation); A and C use Taylor
     expansions below t=0.5 where the direct f32 forms lose digits.
     """
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     small = theta2 < 0.25  # theta < 0.5
+    # double-where: unused branches must stay finite under autodiff (jacfwd
+    # evaluates both; a 1/theta blowup there poisons gradients with NaN/inf)
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
     t4 = theta2 * theta2
     a = jnp.where(small, 1.0 - theta2 / 6.0 + t4 / 120.0, jnp.sin(theta) / theta)
-    half_sin = jnp.sin(0.5 * theta)
+    tiny = theta2 < _EPS
+    t2_safe2 = jnp.where(tiny, 1.0, theta2)
+    half_sin = jnp.sin(0.5 * jnp.sqrt(t2_safe2))
     b = jnp.where(
-        theta2 < _EPS,
+        tiny,
         0.5 - theta2 / 24.0,
-        2.0 * half_sin * half_sin / theta2,
+        2.0 * half_sin * half_sin / t2_safe2,
     )
     c = jnp.where(
         small,
         1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
-        (theta - jnp.sin(theta)) / (theta2 * theta),
+        (theta - jnp.sin(theta)) / (t2_safe * theta),
     )
     return a, b, c
 
@@ -78,9 +83,14 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """Log map of SO(3). R: (..., 3, 3) -> (..., 3). Safe up to ~pi."""
+    """Log map of SO(3). R: (..., 3, 3) -> (..., 3). Safe up to ~pi.
+
+    cos is clipped strictly inside (-1, 1) so arccos stays differentiable;
+    near-identity values take the Taylor branch where theta's exact value is
+    irrelevant.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     # Near 0: phi ~ vee(R - R^T)/2 * (1 + theta^2/6). Near pi use axis from
     # diagonal of (R + I)/2 = aa^T * (1+cos)/... ; handle via symmetric part.
@@ -89,7 +99,8 @@ def so3_log(R):
     sin_t = jnp.sin(theta)
     small = theta < 1e-4
     near_pi = theta > jnp.pi - 1e-3
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.where(sin_t == 0, 1.0, sin_t))
+    sin_safe = jnp.where(jnp.abs(sin_t) < 1e-7, 1.0, sin_t)
+    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / sin_safe)
     phi_generic = v * scale[..., None]
     # near pi: R ~ I + 2 aa^T - ... -> axis^2 from diagonal
     S = 0.5 * (R + jnp.swapaxes(R, -1, -2))  # symmetric part
@@ -116,15 +127,16 @@ def _left_jacobian(phi):
 
 def _left_jacobian_inv(phi):
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
-    half = 0.5 * theta
     small = theta2 < 0.25  # theta < 0.5: Taylor beats the f32 cancellation
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
+    half = 0.5 * theta
     t4 = theta2 * theta2
-    safe_sin = jnp.where(jnp.sin(half) == 0, 1.0, jnp.sin(half))
+    safe_sin = jnp.where(jnp.abs(jnp.sin(half)) < 1e-7, 1.0, jnp.sin(half))
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0 + t4 / 30240.0,
-        (1.0 - half * jnp.cos(half) / safe_sin) / theta2,
+        (1.0 - half * jnp.cos(half) / safe_sin) / t2_safe,
     )
     W = hat(phi)
     W2 = W @ W
@@ -281,32 +293,35 @@ def sim3_exp(xi7):
     rho, phi, sigma = xi7[..., :3], xi7[..., 3:6], xi7[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(phi)
-    # W matrix for sim3 translation (Strasdat thesis); Taylor-safe blend
+    # W matrix for sim3 translation (Strasdat thesis); Taylor/AD-safe blend
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    small_guard = theta2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small_guard, 1.0, theta2))
+    theta = jnp.where(small_guard, 1e-5, theta)
     W = hat(phi)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi7.dtype), W.shape)
     sig = sigma
     small_sig = jnp.abs(sig) < 1e-5
-    small_th = theta < 1e-5
+    small_th = theta2 < 1e-10
     A_ = jnp.where(small_sig, 1.0 + sig / 2.0, (s - 1.0) / jnp.where(small_sig, 1.0, sig))
 
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
     sig2 = sig * sig
     denom = sig2 + theta2
     denom = jnp.where(denom < _EPS, 1.0, denom)
+    t2_safe = jnp.where(small_th, 1.0, theta2)
     a = s * sin_t
     b = s * cos_t
     c_coef = jnp.where(
         small_th,
-        jnp.where(small_sig, 0.5, (sig * s - s + 1.0) / jnp.where(small_sig, 1.0, sig2)) * 0.0 + 0.5,
+        0.5,
         (a * sig + (1.0 - b) * theta) / (denom * theta),
     )
     d_coef = jnp.where(
         small_th,
         1.0 / 6.0,
-        (A_ - (b - 1.0) * sig / denom - a * theta / denom) / theta2,
+        (A_ - (b - 1.0) * sig / denom - a * theta / denom) / t2_safe,
     )
     Wmat = A_[..., None, None] * eye + c_coef[..., None, None] * W + d_coef[..., None, None] * W2
     t = jnp.einsum("...ij,...j->...i", Wmat, rho)
@@ -318,12 +333,14 @@ def sim3_log(s, R, t):
     sigma = jnp.log(s)
     phi = so3_log(R)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    small_guard = theta2 < 1e-10
+    theta = jnp.sqrt(jnp.where(small_guard, 1.0, theta2))
+    theta = jnp.where(small_guard, 1e-5, theta)
     W = hat(phi)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=t.dtype), W.shape)
     small_sig = jnp.abs(sigma) < 1e-5
-    small_th = theta < 1e-5
+    small_th = theta2 < 1e-10
     A_ = jnp.where(small_sig, 1.0 + sigma / 2.0, (s - 1.0) / jnp.where(small_sig, 1.0, sigma))
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
     sig2 = sigma * sigma
@@ -331,8 +348,9 @@ def sim3_log(s, R, t):
     denom = jnp.where(denom < _EPS, 1.0, denom)
     a = s * sin_t
     b = s * cos_t
+    t2_safe = jnp.where(small_th, 1.0, theta2)
     c_coef = jnp.where(small_th, 0.5, (a * sigma + (1.0 - b) * theta) / (denom * theta))
-    d_coef = jnp.where(small_th, 1.0 / 6.0, (A_ - (b - 1.0) * sigma / denom - a * theta / denom) / theta2)
+    d_coef = jnp.where(small_th, 1.0 / 6.0, (A_ - (b - 1.0) * sigma / denom - a * theta / denom) / t2_safe)
     Wmat = A_[..., None, None] * eye + c_coef[..., None, None] * W + d_coef[..., None, None] * W2
     rho = jnp.linalg.solve(Wmat, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

@@ -119,3 +119,71 @@ def search_by_projection_frame(
 
     idx = jnp.where(matched, best, -1)
     return MatchResult(idx=idx, dist=best_d.astype(jnp.int32), count=jnp.sum(matched.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("check_rot",))
+def search_by_projection_kf(
+    # source: a keyframe's bound map points
+    p_world: jnp.ndarray,      # [N,3] current positions of the KF's points
+    src_desc: jnp.ndarray,     # [N,8] representative descriptors
+    src_angle: jnp.ndarray,    # [N] source keypoint angles
+    src_min_dist: jnp.ndarray,  # [N] scale-band bounds
+    src_max_dist: jnp.ndarray,
+    src_pt: jnp.ndarray,       # [N] i32 map point ids (-1 none)
+    src_valid: jnp.ndarray,    # [N] bool (has live point, not in `found`)
+    # target frame
+    tgt_uv_und: jnp.ndarray,
+    tgt_angle: jnp.ndarray,
+    tgt_octave: jnp.ndarray,
+    tgt_desc: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    tgt_blocked: jnp.ndarray,  # already matched slots
+    T_c_w: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    fx, fy, cx, cy,
+    width: float, height: float,
+    radius: float,
+    dist_threshold: float,     # 100 (first top-up) or 60 (second)
+    check_rot: bool = True,
+) -> MatchResult:
+    """Relocalization top-up search (matcher.cpp:150-272): project the
+    candidate keyframe's map points into the frame, distance-band gate,
+    predicted-scale window [pred-1, pred+1], best-Hamming <= dist_threshold."""
+    R = T_c_w[:3, :3]
+    t = T_c_w[:3, 3]
+    pc = p_world @ R.T + t
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * pc[:, 0] / safe_z + cx
+    v = fy * pc[:, 1] / safe_z + cy
+    ow = -R.T @ t
+    dist = jnp.linalg.norm(p_world - ow, axis=-1)
+    src_ok = (
+        src_valid & (z > 0)
+        & (u >= 0) & (u <= width) & (v >= 0) & (v <= height)
+        & (dist >= src_min_dist) & (dist <= src_max_dist)
+    )
+    # predictScale (mappoint.cpp:182-199)
+    ratio = src_max_dist / jnp.maximum(dist, 1e-9)
+    pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, scale_factors.shape[0] - 1)
+    r_scale = radius * scale_factors[pred]
+
+    du = jnp.abs(tgt_uv_und[None, :, 0] - u[:, None])
+    dv = jnp.abs(tgt_uv_und[None, :, 1] - v[:, None])
+    window = (du < r_scale[:, None]) & (dv < r_scale[:, None])
+    oct_ok = (tgt_octave[None, :] >= (pred - 1)[:, None]) & (tgt_octave[None, :] <= (pred + 1)[:, None])
+    allowed = window & oct_ok & src_ok[:, None] & tgt_valid[None, :] & ~tgt_blocked[None, :]
+
+    D = hamming.distance_matrix(src_desc, tgt_desc)
+    D = jnp.where(allowed, D, BIG)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    matched = best_d <= dist_threshold
+
+    if check_rot:
+        bins = rotation.rotation_bins(src_angle, tgt_angle[best])
+        matched = rotation.rotation_consistency_mask(bins, matched)
+
+    idx = jnp.where(matched, best, -1)
+    return MatchResult(idx=idx, dist=best_d.astype(jnp.int32), count=jnp.sum(matched.astype(jnp.int32)))

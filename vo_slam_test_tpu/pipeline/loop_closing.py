@@ -1,0 +1,340 @@
+"""Loop closing: detection, Sim3 verification, correction, essential graph.
+
+Covers the reference's LoopClosing thread (loopClosing.cpp):
+
+- detect_step (one jit, runs conditionally every frame): BoW scores of the
+  new keyframe vs the whole map, minimum-covisible-score gate (:68-83),
+  Map::detectLoopCandidates cascade, and the 3-consecutive-detections
+  consistency-group tracking (:95-174) kept as fixed-shape group masks.
+- close_step (one jit, host-dispatched on a confirmed candidate):
+  KF<->KF BoW matching, batched Horn Sim3 RANSAC (>=20 inliers,
+  sim3Solver), LM Sim3 refinement (>=20, optimizer_ceres.cpp:810-1030),
+  Scw-projection gathering of loop-side points with the >=40 acceptance
+  gate (:178-348); then correctLoop (:350-492): propagate the correction to
+  the current covisible group and its points, fuse loop points into the
+  corrected group, and run the essential-graph Sim3 pose-graph
+  (solvers/pose_graph.py) with edge measurements taken from PRE-correction
+  poses (the drift signal) and the loop edge from the corrected relative.
+  Map points are corrected through their reference keyframes afterwards
+  (optimizer_ceres.cpp:1281-1301).
+
+Deviation: the reference runs 5 RANSAC iterations per candidate per loop
+round across up to 300 total; the batched solver evaluates 128 hypotheses
+at once, once per confirmed candidate. searchBySim3's bidirectional extra
+matching is subsumed by the Scw-projection search (dense matrices make the
+extra BoW-independent pass redundant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .. import lie
+from ..bow import retrieval as bow_ret
+from ..camera import Camera
+from ..matching import bow_match
+from ..ops import hamming
+from ..slam_map import fuse
+from ..slam_map.map_state import MapCaps, MapState
+from ..solvers import pose_graph, sim3
+
+MAX_GROUPS = 32
+MIN_KF_GAP = 10        # >=10 KFs since last loop (loopClosing.cpp:62)
+CONSISTENCY = 3        # consecutive consistent detections (:149)
+
+
+@struct.dataclass
+class LoopState:
+    groups: jnp.ndarray      # [G,K] bool previous candidate groups
+    counts: jnp.ndarray      # [G] i32 consistency counts
+    n_groups: jnp.ndarray    # i32
+    last_loop_kf: jnp.ndarray  # i32
+
+
+def empty_loop_state(caps: MapCaps) -> LoopState:
+    return LoopState(
+        groups=jnp.zeros((MAX_GROUPS, caps.max_kf), bool),
+        counts=jnp.zeros((MAX_GROUPS,), jnp.int32),
+        n_groups=jnp.asarray(0, jnp.int32),
+        last_loop_kf=jnp.asarray(-100, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def detect_step(
+    m: MapState,
+    ls: LoopState,
+    did_kf: jnp.ndarray,
+    kf_id: jnp.ndarray,
+    caps: MapCaps,
+) -> Tuple[LoopState, jnp.ndarray]:
+    """Returns (new loop state, confirmed candidate kf id or -1)."""
+
+    def work(args):
+        m_, ls_ = args
+        kf = jnp.maximum(kf_id, 0)
+        K = caps.max_kf
+        uniq = m_.kf_bow_word[kf]
+        wgt = m_.kf_bow_weight[kf]
+        scores, shared = bow_ret.scores_vs_keyframes(
+            uniq, wgt, m_.kf_bow_word, m_.kf_bow_weight, m_.kf_valid.astype(jnp.float32)
+        )
+        covis_kfs = (m_.covis[kf] > 0) & m_.kf_valid
+        min_score = jnp.min(jnp.where(covis_kfs, scores, jnp.inf))
+        min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
+
+        cand_mask = bow_ret.loop_candidates(
+            scores, shared, m_.covis, m_.kf_valid, kf, min_score
+        )
+
+        # consistency groups (loopClosing.cpp:95-174): process the best
+        # candidate's group against previous groups
+        best_cand = jnp.argmax(jnp.where(cand_mask, scores, -1.0)).astype(jnp.int32)
+        has_cand = jnp.any(cand_mask)
+        cand_group = (
+            jnp.zeros((K,), bool).at[best_cand].set(has_cand)
+            | ((m_.covis[best_cand] > 0) & m_.kf_valid & has_cand)
+        )
+        inter = jnp.any(ls_.groups & cand_group[None, :], axis=1)  # [G]
+        prev_best = jnp.max(jnp.where(inter, ls_.counts, 0))
+        new_count = jnp.where(has_cand, prev_best + 1, 0)
+        confirmed = has_cand & (new_count >= CONSISTENCY)
+        gap_ok = kf >= ls_.last_loop_kf + MIN_KF_GAP
+        confirmed &= gap_ok
+
+        # new state: single rolling group slot per detection round
+        slot = jnp.asarray(0, jnp.int32)
+        groups = jnp.zeros_like(ls_.groups).at[slot].set(cand_group)
+        counts = jnp.zeros_like(ls_.counts).at[slot].set(new_count)
+        ls_new = LoopState(
+            groups=groups, counts=counts,
+            n_groups=jnp.where(has_cand, 1, 0).astype(jnp.int32),
+            last_loop_kf=ls_.last_loop_kf,
+        )
+        out_cand = jnp.where(confirmed, best_cand, -1)
+        return ls_new, out_cand
+
+    def noop(args):
+        _, ls_ = args
+        return ls_, jnp.asarray(-1, jnp.int32)
+
+    return jax.lax.cond(did_kf & (kf_id >= 0), work, noop, (m, ls))
+
+
+@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+def close_step(
+    m: MapState,
+    ls: LoopState,
+    kf_id: jnp.ndarray,        # current keyframe
+    cand_kf: jnp.ndarray,      # confirmed loop candidate
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+    voc_groups_curr: jnp.ndarray,  # [N] level-3 groups of kf_id's words
+    voc_groups_cand: jnp.ndarray,
+) -> Tuple[MapState, LoopState, jnp.ndarray]:
+    """Attempt Sim3 verification + loop correction. Returns
+    (map, loop state, success flag)."""
+    K = caps.max_kf
+    N = caps.n_feat
+    P = caps.max_pt
+
+    kf = jnp.maximum(kf_id, 0)
+    cd = jnp.maximum(cand_kf, 0)
+
+    # ---- KF<->KF BoW matching (matcher.cpp:561-677, ratio 0.75) ------------
+    row1 = m.kf_mp[kf]
+    row2 = m.kf_mp[cd]
+    live1 = (row1 >= 0) & m.pt_valid[jnp.maximum(row1, 0)]
+    live2 = (row2 >= 0) & m.pt_valid[jnp.maximum(row2, 0)]
+    res = bow_match.search_by_bow_kf_frame(
+        kf_desc=m.kf_desc[cd], kf_groups=voc_groups_cand, kf_mp=row2,
+        kf_angle=m.kf_angle[cd], kf_pt_valid=live2,
+        f_desc=m.kf_desc[kf], f_groups=voc_groups_curr, f_angle=m.kf_angle[kf],
+        f_valid=m.kf_kp_valid[kf] & live1, ratio=0.75,
+    )
+    # res.assign: per kp-of-curr the matched point of cand
+    match2 = res.assign                    # [N] cand-side point id
+    match1 = row1                          # curr-side point per kp
+    pair_ok = (match2 >= 0) & live1
+    n_bow = res.count
+
+    # camera-frame coordinates of the matched point pairs
+    T1 = m.kf_pose[kf]
+    T2 = m.kf_pose[cd]
+    p1w = m.pt_pos[jnp.maximum(match1, 0)]
+    p2w = m.pt_pos[jnp.maximum(match2, 0)]
+    pc1 = p1w @ T1[:3, :3].T + T1[:3, 3]
+    pc2 = p2w @ T2[:3, :3].T + T2[:3, 3]
+    uv1 = cam.camera2pixel(pc1)
+    uv2 = cam.camera2pixel(pc2)
+    sig1 = scale_factors[m.kf_octave[kf]] ** 2
+    # octave of the cand-side observation unknown per kp; use curr octave
+    gates1 = 9.21 * sig1
+    gates2 = gates1
+
+    s12, T12, inl_r, n_ransac = sim3.ransac_sim3(
+        pc1, pc2, uv1, uv2, gates1, gates2, pair_ok,
+        cam.fx, cam.fy, cam.cx, cam.cy, kf_id, fix_scale=True,
+    )
+    ones = jnp.ones((N,))
+    s12b, T12b, inl_ref, n_ref = sim3.refine_sim3(
+        T12, s12, pc1, pc2, uv1, uv2, ones, ones, inl_r & pair_ok,
+        cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=True,
+    )
+
+    # corrected pose of the current keyframe: T1_corr = T12 * T2
+    T1_corr = lie.orthonormalize(T12b @ T2)
+
+    # ---- gather loop-side points and count total matches (>=40 gate) -------
+    nb_cand = ((m.covis[cd] > 0) & m.kf_valid) | (jnp.arange(K) == cd)
+    rows_on = nb_cand[:, None] & (m.kf_mp >= 0)
+    flat_pt = jnp.where(rows_on, m.kf_mp, P - 1).reshape(-1)
+    loop_pts = jnp.zeros((P,), bool).at[flat_pt].max(rows_on.reshape(-1))
+    loop_pts &= m.pt_valid
+
+    # project loop points into the corrected current frame, hamming match
+    fr_u, fr_valid = _project_points(m, loop_pts, T1_corr, cam, scale_factors)
+    lm = _sim3_projection_match(
+        m, fr_u, fr_valid, kf, cam, scale_factors, radius=7.5
+    )
+    total = jnp.sum((lm >= 0).astype(jnp.int32))
+    accept = (n_bow >= 20) & (n_ransac >= 20) & (n_ref >= 20) & (total >= 40)
+
+    # ---- correctLoop (loopClosing.cpp:350-492) ----------------------------
+    def do_correct(m):
+        pre_pose = m.kf_pose  # measurements for the essential graph
+        # propagate the correction to the current covisible group
+        group = ((m.covis[kf] > 0) & m.kf_valid) | (jnp.arange(K) == kf)
+        T_delta = T1_corr @ lie.se3_inverse(T1)  # world-side correction of kf
+        # S_i_corr = S_i_c * S_c_corr => T_i_corr = (T_i * T1^-1) * T1_corr
+        T_i_c = jnp.einsum("kij,jl->kil", m.kf_pose, lie.se3_inverse(T1))
+        T_corr_all = jnp.einsum("kij,jl->kil", T_i_c, T1_corr)
+        new_poses = jnp.where(group[:, None, None], lie.orthonormalize(T_corr_all), m.kf_pose)
+        m = m.replace(kf_pose=new_poses)
+
+        # correct the group's points: p' = T_new^-1 T_old p via the point's
+        # reference keyframe when it belongs to the group
+        ref = jnp.maximum(m.pt_ref_kf, 0)
+        in_group = group[ref] & m.pt_valid
+        T_old = pre_pose[ref]
+        T_new = new_poses[ref]
+        p_cam = jnp.einsum("pij,pj->pi", T_old[:, :3, :3], m.pt_pos) + T_old[:, :3, 3]
+        T_new_inv = jax.vmap(lie.se3_inverse)(T_new)
+        p_corr = jnp.einsum("pij,pj->pi", T_new_inv[:, :3, :3], p_cam) + T_new_inv[:, :3, 3]
+        m = m.replace(pt_pos=jnp.where(in_group[:, None], p_corr, m.pt_pos))
+
+        # fuse loop points into the corrected group (searchAndFuse :496-516)
+        group_ids = fuse._compact_ids(group, 16)
+
+        def body(i, m):
+            g = group_ids[i]
+            mask = jnp.where(g >= 0, loop_pts, jnp.zeros_like(loop_pts))
+            return fuse.fuse_into_keyframe(
+                m, jnp.maximum(g, 0), mask, caps, cam, scale_factors, threshold=4.0
+            )
+
+        m = jax.lax.fori_loop(0, 16, body, m)
+
+        # essential graph: parents + strong covisibles + loop edges + new edge
+        kf_ids = jnp.arange(K)
+        par_ok = (m.parent >= 0) & m.kf_valid
+        edge_mask = jnp.zeros((K, K), bool)
+        edge_mask = edge_mask.at[kf_ids, jnp.maximum(m.parent, 0)].max(par_ok)
+        edge_mask |= edge_mask.T
+        edge_mask |= (m.covis >= 100) & m.kf_valid[:, None] & m.kf_valid[None, :]
+        edge_mask |= m.loop_edges
+        edge_mask = edge_mask.at[kf, cd].set(True).at[cd, kf].set(True)
+
+        # measurements: S_i S_j^-1 from PRE-correction poses, except edges
+        # touching the corrected group, which use the corrected poses
+        post = m.kf_pose
+        use_post = group[:, None] | group[None, :]
+        pre_inv = jax.vmap(lie.se3_inverse)(pre_pose)
+        post_inv = jax.vmap(lie.se3_inverse)(post)
+        meas_pre = jnp.einsum("iab,jbc->ijac", pre_pose, pre_inv)
+        meas_post = jnp.einsum("iab,jbc->ijac", post, post_inv)
+        meas = jnp.where(use_post[:, :, None, None], meas_post, meas_pre)
+        meas_R = meas[:, :, :3, :3]
+        meas_t = meas[:, :, :3, 3]
+        meas_s = jnp.ones((K, K))
+
+        s_opt, R_opt, t_opt = pose_graph.solve_pose_graph(
+            jnp.ones((K,)), post[:, :3, :3], post[:, :3, 3], m.kf_valid,
+            edge_mask, meas_s, meas_R, meas_t, cd, fix_scale=True, iters=20,
+        )
+        pg_pose = lie.rt_to_mat(R_opt, t_opt / jnp.maximum(s_opt, 1e-9)[:, None])
+        pg_pose = jnp.where(m.kf_valid[:, None, None], pg_pose, m.kf_pose)
+
+        # correct all points through their reference keyframes
+        refp = jnp.maximum(m.pt_ref_kf, 0)
+        T_old2 = post[refp]
+        T_new2 = pg_pose[refp]
+        pc = jnp.einsum("pij,pj->pi", T_old2[:, :3, :3], m.pt_pos) + T_old2[:, :3, 3]
+        T_new2_inv = jax.vmap(lie.se3_inverse)(T_new2)
+        p2 = jnp.einsum("pij,pj->pi", T_new2_inv[:, :3, :3], pc) + T_new2_inv[:, :3, 3]
+        m = m.replace(
+            kf_pose=pg_pose,
+            pt_pos=jnp.where(m.pt_valid[:, None], p2, m.pt_pos),
+            loop_edges=m.loop_edges.at[kf, cd].set(True).at[cd, kf].set(True),
+        )
+        return m
+
+    m = jax.lax.cond(accept, do_correct, lambda m: m, m)
+    ls = ls.replace(last_loop_kf=jnp.where(accept, kf, ls.last_loop_kf))
+    return m, ls, accept
+
+
+def _project_points(m, mask, T, cam, scale_factors):
+    """Project masked points with frustum/distance gates; returns
+    ((u, v, pred_level), valid)."""
+    R, t = T[:3, :3], T[:3, 3]
+    pc = m.pt_pos @ R.T + t
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * pc[:, 0] / safe_z + cam.cx
+    v = cam.fy * pc[:, 1] / safe_z + cam.cy
+    ow = -R.T @ t
+    dist = jnp.linalg.norm(m.pt_pos - ow, axis=-1)
+    ok = (
+        mask & (z > 0)
+        & (u >= 0) & (u <= cam.width) & (v >= 0) & (v <= cam.height)
+        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+    )
+    ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
+    pred = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])).astype(jnp.int32),
+        0, scale_factors.shape[0] - 1,
+    )
+    return (u, v, pred), ok
+
+
+def _sim3_projection_match(m, proj, valid, kf, cam, scale_factors, radius):
+    """Hamming match projected loop points against kf's keypoints
+    (matcher.cpp:356-447 searchByProjection with a Sim3-corrected pose).
+    Returns per-point matched keypoint index (-1 none), compacted to 4096."""
+    u, v, pred = proj
+    ids = fuse._compact_ids(valid, fuse.MAX_FUSE)
+    ok = ids >= 0
+    sid = jnp.maximum(ids, 0)
+    c_u, c_v, c_pred = u[sid], v[sid], pred[sid]
+    c_desc = m.pt_desc[sid]
+    r_scale = radius * scale_factors[c_pred]
+
+    kp_uv = m.kf_uv_und[kf]
+    kp_oct = m.kf_octave[kf]
+    kp_ok = m.kf_kp_valid[kf]
+    du = jnp.abs(kp_uv[None, :, 0] - c_u[:, None])
+    dv = jnp.abs(kp_uv[None, :, 1] - c_v[:, None])
+    window = (du < r_scale[:, None]) & (dv < r_scale[:, None])
+    oct_ok = (kp_oct[None, :] >= (c_pred - 1)[:, None]) & (kp_oct[None, :] <= (c_pred + 1)[:, None])
+    allowed = window & oct_ok & ok[:, None] & kp_ok[None, :]
+    D = jnp.where(allowed, hamming.distance_matrix(c_desc, m.kf_desc[kf]), 1 << 20)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    return jnp.where(best_d <= 100, best, -1)

@@ -1,30 +1,34 @@
-"""Full tracking-with-map SLAM step (Milestone B).
+"""Full tracking-with-map SLAM step (Milestones B + C).
 
 One device program per frame implementing the reference's tracking role
-(visualOdometry.cpp run():38-142):
+(visualOdometry.cpp run():38-142) with the complete state machine:
 
-  extract -> trackWithMotion (temp points + projection match + pose solve,
-  :225-255) -> trackLocalMap (local KF/point selection, frustum cull,
-  projection match with ratio gate, second pose solve, :279-311,595-774) ->
-  keyframe policy (:397-461) -> conditional keyframe insertion + point
-  spawning (:463-517) — all under jit with lax.cond, zero host sync.
+  extract -> [OK] trackWithMotion (:225-255) -> fallback trackRefKeyFrame
+  (BoW vs reference KF, :257-277) -> fallback relocalization (BoW candidate
+  retrieval + RANSAC absolute pose + projection top-ups, :313-395) ->
+  trackLocalMap (:279-311) -> keyframe policy (:397-461) -> conditional
+  keyframe insertion (:463-517) — all under jit with lax.cond, zero host
+  sync. [LOST] goes straight to relocalization.
 
-Local mapping currently runs "lite" and synchronously: keyframe insertion
-attaches observations, maintains covisibility/spanning tree and refreshes
-point statistics; windowed local BA and epipolar triangulation are layered
-on in slam_map/local_ba.py / slam_map/triangulate.py and invoked from the
-same conditional branch.
+Deviations from the reference (documented):
+- relocalization tries the single best-scoring BoW candidate per frame
+  instead of iterating all candidates; since relocalization re-runs every
+  frame, recovery converges within a frame or two of the reference;
+- the absolute pose uses batched Horn 3D-3D RANSAC on RGB-D depth instead
+  of EPnP (solvers/ransac.py) with the same 8 px inlier gate and >=10 /
+  >=50 accept thresholds.
 
-Trajectory bookkeeping follows the reference's relative-pose DB (Tcr +
-reference keyframe per frame, vo_run.cpp:187-232): poses are reconstructed
-against the *final* keyframe poses so later BA/loop corrections propagate
-into the exported trajectory.
+The local-mapping chain (culling, triangulation, local BA) runs as a second
+conditional program per frame (mapping_step). Trajectory bookkeeping keeps
+per-frame (Tcr, refKF) like the reference's trajectory DB (vo_run.cpp:
+187-232) and reconstructs against final keyframe poses, with culled-KF
+recovery through the Tcp parent chain.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,17 +36,19 @@ import numpy as np
 from flax import struct
 
 from .. import lie
+from ..bow import retrieval as bow_ret
+from ..bow import vocabulary as bow_voc
 from ..camera import Camera
 from ..config import SlamConfig
 from ..frontend.extractor import OrbExtractor, extract_fused
 from ..frontend.frame import MAX_FEATURES, FrameFeatures
-from ..matching import matcher
-from ..slam_map import culling, triangulate
+from ..matching import bow_match, matcher
+from ..slam_map import culling, fuse, triangulate
 from ..slam_map import insert as map_insert
 from ..slam_map import local_map
-from ..solvers import local_ba
 from ..slam_map.map_state import MapCaps, MapState, empty_map
-from ..solvers import pose_only
+from ..solvers import local_ba, pose_only, ransac
+from . import loop_closing
 from .tracking import TrackStats, _spawn_temp_points
 
 
@@ -55,8 +61,10 @@ class SlamTrackState:
     T_cl: jnp.ndarray           # [4,4] motion model
     motion_valid: jnp.ndarray   # bool
     initialized: jnp.ndarray    # bool
+    lost: jnp.ndarray           # bool — state LOST (visualOdometry.h:18-22)
     last_kf_frame: jnp.ndarray  # i32 frame id of the last inserted KF
-    last_was_kf: jnp.ndarray    # bool — last frame became a keyframe
+    last_was_kf: jnp.ndarray    # bool
+    last_reloc_frame: jnp.ndarray  # i32 (-10000 = never)
 
 
 @struct.dataclass
@@ -67,16 +75,45 @@ class SlamOut:
     ok: jnp.ndarray
     n_features: jnp.ndarray
     n_matches: jnp.ndarray
-    n_inliers: jnp.ndarray      # observed (map) inliers, the >=30 gate value
+    n_inliers: jnp.ndarray
     made_kf: jnp.ndarray
+    relocalized: jnp.ndarray
+
+
+@struct.dataclass
+class _Attempt:
+    """Uniform result of a tracking attempt."""
+
+    T: jnp.ndarray          # [4,4]
+    kp_pt: jnp.ndarray      # [N] i32 map point per curr kp (inliers only)
+    kp_temp: jnp.ndarray    # [N] bool temp match (inlier)
+    kp_pw: jnp.ndarray      # [N,3] point position per kp
+    n_match: jnp.ndarray    # i32
+    ok: jnp.ndarray         # bool
 
 
 def _observed(m: MapState, assign: jnp.ndarray) -> jnp.ndarray:
-    """obs_cnt > 0 per assigned slot (false for -1)."""
     return (assign >= 0) & (m.pt_obs_cnt[jnp.maximum(assign, 0)] > 0)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "spec", "budgets"), donate_argnums=(1,))
+def _solve_and_cull(m, feats, T_init, kp_pt, kp_temp, kp_pw, inv_level_sigma2, cam):
+    """Pose-only solve + outlier culling + observed-inlier count."""
+    has = (kp_pt >= 0) | kp_temp
+    obs = pose_only.PoseObs(
+        p_world=kp_pw, uv=feats.uv_und,
+        u_right=jnp.where(has, feats.u_right, -1.0),
+        inv_sigma2=inv_level_sigma2[feats.octave], valid=has,
+    )
+    T, inl, _ = pose_only.solve_pose_only(T_init, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    kp_pt = jnp.where(inl, kp_pt, -1)
+    kp_temp = kp_temp & inl
+    n_obs = jnp.sum(_observed(m, kp_pt).astype(jnp.int32))
+    return T, kp_pt, kp_temp, n_obs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("caps", "spec", "budgets", "use_bow"), donate_argnums=(1,)
+)
 def slam_step(
     state: SlamTrackState,
     m: MapState,
@@ -93,6 +130,8 @@ def slam_step(
     fast_hi: float,
     fast_lo: float,
     max_frame_gap: int,
+    voc: Optional[bow_voc.Vocabulary],
+    use_bow: bool,
 ):
     feats = extract_fused(gray, depth_img, cam, spec, budgets, fast_hi, fast_lo)
     n_feats = jnp.sum(feats.valid.astype(jnp.int32))
@@ -100,126 +139,281 @@ def slam_step(
     P = caps.max_pt
     eye = jnp.eye(4, dtype=jnp.float32)
 
+    if use_bow:
+        words_c = bow_voc.transform(voc, feats.desc, feats.valid)
+        uniq_c, wgt_c = bow_ret.bow_vector(words_c, voc.idf)
+        groups_c = bow_voc.feature_groups(voc, words_c)
+    else:
+        words_c = jnp.full((N,), -1, jnp.int32)
+        uniq_c = jnp.full((N,), bow_ret.PAD_WORD, jnp.int32)
+        wgt_c = jnp.zeros((N,))
+        groups_c = words_c
+
+    def insert_kf(m, T, assign):
+        already = _observed(m, assign)
+        create = map_insert.spawn_mask_depth_sorted(feats, already, cam.th_depth)
+        return map_insert.insert_keyframe(
+            m, caps, feats, T, timestamp, frame_id, assign, create, cam,
+            scale_factors, words_c, uniq_c, wgt_c,
+        )
+
     # ======================== INIT BRANCH ==================================
     def init_branch(m):
-        create = (feats.depth > 0) & feats.valid  # all depth points (init, :178-200)
-        m2, kf_id = map_insert.insert_keyframe(
-            m, caps, feats, eye, timestamp, frame_id,
-            jnp.full((N,), -1, jnp.int32), create, cam, scale_factors,
-        )
-        assign = m2.kf_mp[kf_id]
+        m2, kf_id = insert_kf(m, eye, jnp.full((N,), -1, jnp.int32))
         st = SlamTrackState(
-            feats=feats, assign_real=assign, T_cr=eye,
-            ref_kf=kf_id, T_cl=eye,
-            motion_valid=jnp.asarray(False), initialized=jnp.asarray(True),
+            feats=feats, assign_real=m2.kf_mp[kf_id], T_cr=eye, ref_kf=kf_id,
+            T_cl=eye, motion_valid=jnp.asarray(False), initialized=jnp.asarray(True),
+            lost=jnp.asarray(False),
             last_kf_frame=jnp.asarray(frame_id, jnp.int32),
             last_was_kf=jnp.asarray(True),
+            last_reloc_frame=state.last_reloc_frame,
         )
         out = SlamOut(
             T_c_w=eye, T_cr=eye, ref_kf=kf_id, ok=jnp.asarray(True),
             n_features=n_feats, n_matches=jnp.asarray(0, jnp.int32),
             n_inliers=jnp.asarray(0, jnp.int32), made_kf=jnp.asarray(True),
+            relocalized=jnp.asarray(False),
         )
         return st, m2, out
 
     # ======================== TRACK BRANCH =================================
     def track_branch(m):
-        # -- last frame pose re-anchored to its (possibly BA-moved) ref KF --
         T_last = state.T_cr @ m.kf_pose[state.ref_kf]
+        no_pw = jnp.zeros((N, 3))
+        no_pt = jnp.full((N,), -1, jnp.int32)
+        no_tmp = jnp.zeros((N,), bool)
+        fail = _Attempt(T=T_last, kp_pt=no_pt, kp_temp=no_tmp, kp_pw=no_pw,
+                        n_match=jnp.asarray(0, jnp.int32), ok=jnp.asarray(False))
 
-        # -- temp points for unmatched last-frame slots (updateLastFrame) ---
-        real_last = state.assign_real >= 0
-        temp_pw_all, temp_valid = _spawn_temp_points(state.feats, T_last, cam)
-        temp_valid &= ~real_last & ~state.last_was_kf  # KF frames spawn none
-        last_pw = jnp.where(
-            real_last[:, None], m.pt_pos[jnp.maximum(state.assign_real, 0)], temp_pw_all
-        )
-        last_has = real_last | temp_valid
-        src_desc = jnp.where(
-            real_last[:, None], m.pt_desc[jnp.maximum(state.assign_real, 0)], state.feats.desc
-        )
-
-        T_pred = jnp.where(state.motion_valid, state.T_cl @ T_last, T_last)
-
-        # -- motion search + first pose solve (trackWithMotion) -------------
-        def motion_attempt(radius):
-            res = matcher.search_by_projection_frame(
-                p_world=last_pw, src_desc=src_desc, src_octave=state.feats.octave,
-                src_angle=state.feats.angle, src_valid=last_has,
-                tgt_uv_und=feats.uv_und, tgt_u_right=feats.u_right,
-                tgt_octave=feats.octave, tgt_angle=feats.angle, tgt_desc=feats.desc,
-                tgt_valid=feats.valid, tgt_blocked=jnp.zeros((N,), bool),
-                T_c_w=T_pred, T_l_w=T_last, scale_factors=scale_factors,
-                fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf, b=cam.b,
-                width=float(cam.width), height=float(cam.height), radius=radius,
+        # ---------------- attempt 1: trackWithMotion -----------------------
+        def attempt_motion(_):
+            real_last = state.assign_real >= 0
+            temp_pw_all, temp_valid = _spawn_temp_points(state.feats, T_last, cam)
+            temp_valid &= ~real_last & ~state.last_was_kf
+            last_pw = jnp.where(
+                real_last[:, None], m.pt_pos[jnp.maximum(state.assign_real, 0)], temp_pw_all
             )
-            return res
+            last_has = real_last | temp_valid
+            src_desc = jnp.where(
+                real_last[:, None], m.pt_desc[jnp.maximum(state.assign_real, 0)], state.feats.desc
+            )
+            T_pred = jnp.where(state.motion_valid, state.T_cl @ T_last, T_last)
 
-        res = motion_attempt(15.0)
-        res = jax.lax.cond(res.count < 20, lambda: motion_attempt(30.0), lambda: res)
+            def search(radius):
+                return matcher.search_by_projection_frame(
+                    p_world=last_pw, src_desc=src_desc, src_octave=state.feats.octave,
+                    src_angle=state.feats.angle, src_valid=last_has,
+                    tgt_uv_und=feats.uv_und, tgt_u_right=feats.u_right,
+                    tgt_octave=feats.octave, tgt_angle=feats.angle, tgt_desc=feats.desc,
+                    tgt_valid=feats.valid, tgt_blocked=jnp.zeros((N,), bool),
+                    T_c_w=T_pred, T_l_w=T_last, scale_factors=scale_factors,
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=cam.bf, b=cam.b,
+                    width=float(cam.width), height=float(cam.height), radius=radius,
+                )
 
-        # per-target winner (largest src index wins, reference overwrite order)
-        matched = res.idx >= 0
-        tgt = jnp.where(matched, res.idx, N)
-        src_ids = jnp.arange(N, dtype=jnp.int32)
-        winner = (
-            jnp.full((N + 1,), -1, jnp.int32).at[tgt].max(jnp.where(matched, src_ids, -1))[:N]
+            res = search(15.0)
+            res = jax.lax.cond(res.count < 20, lambda: search(30.0), lambda: res)
+            matched = res.idx >= 0
+            tgt = jnp.where(matched, res.idx, N)
+            src_ids = jnp.arange(N, dtype=jnp.int32)
+            winner = (
+                jnp.full((N + 1,), -1, jnp.int32).at[tgt].max(jnp.where(matched, src_ids, -1))[:N]
+            )
+            has_m = winner >= 0
+            w_safe = jnp.maximum(winner, 0)
+            kp_pt = jnp.where(has_m, state.assign_real[w_safe], -1)
+            kp_temp = has_m & (kp_pt < 0)
+            kp_pw = last_pw[w_safe]
+            T1, kp_pt, kp_temp, n_obs = _solve_and_cull(
+                m, feats, T_pred, kp_pt, kp_temp, kp_pw, inv_level_sigma2, cam
+            )
+            ok = (res.count >= 20) & (n_obs >= 10)
+            return _Attempt(T=T1, kp_pt=kp_pt, kp_temp=kp_temp, kp_pw=kp_pw,
+                            n_match=res.count, ok=ok)
+
+        # the reference gates trackWithMotion on an armed motion model and
+        # falls back to BoW ref-KF tracking (visualOdometry.cpp:227-231);
+        # without a vocabulary there is no fallback, so attempt motion
+        # tracking from T_last directly (T_pred handles the cold model)
+        motion_armed = state.motion_valid if use_bow else jnp.asarray(True)
+        can_motion = (
+            ~state.lost & motion_armed
+            & (frame_id >= state.last_reloc_frame + 2)
         )
-        has_m = winner >= 0
-        w_safe = jnp.maximum(winner, 0)
-        kp_pt = jnp.where(has_m, state.assign_real[w_safe], -1)         # real pt id
-        kp_temp = has_m & (kp_pt < 0)                                    # temp match
-        kp_pw = last_pw[w_safe]
+        a1 = jax.lax.cond(can_motion, attempt_motion, lambda _: fail, None)
 
-        obs1 = pose_only.PoseObs(
-            p_world=kp_pw, uv=feats.uv_und,
-            u_right=jnp.where(has_m, feats.u_right, -1.0),
-            inv_sigma2=inv_level_sigma2[feats.octave], valid=has_m,
-        )
-        T1, inl1, _n1 = pose_only.solve_pose_only(
-            T_pred, obs1, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
-        )
-        # cullingOutliersBeforeLocalMap: drop outliers, count observed inliers
-        kp_pt = jnp.where(inl1, kp_pt, -1)
-        kp_temp = kp_temp & inl1
-        observed_inl1 = jnp.sum(_observed(m, kp_pt).astype(jnp.int32))
-        motion_ok = (res.count >= 20) & (observed_inl1 >= 10)
+        # ---------------- attempt 2: trackRefKeyFrame ----------------------
+        def attempt_ref(_):
+            kf = state.ref_kf
+            row = m.kf_mp[kf]
+            pt_live = m.pt_valid[jnp.maximum(row, 0)]
+            res = bow_match.search_by_bow_kf_frame(
+                kf_desc=m.kf_desc[kf],
+                kf_groups=bow_voc.feature_groups(voc, m.kf_word[kf]),
+                kf_mp=row, kf_angle=m.kf_angle[kf], kf_pt_valid=pt_live,
+                f_desc=feats.desc, f_groups=groups_c, f_angle=feats.angle,
+                f_valid=feats.valid, ratio=0.7,
+            )
+            kp_pt = res.assign
+            kp_pw = m.pt_pos[jnp.maximum(kp_pt, 0)]
+            T2, kp_pt2, _, n_obs = _solve_and_cull(
+                m, feats, T_last, kp_pt, jnp.zeros((N,), bool), kp_pw, inv_level_sigma2, cam
+            )
+            ok = (res.count >= 15) & (n_obs >= 10)
+            return _Attempt(T=T2, kp_pt=kp_pt2, kp_temp=jnp.zeros((N,), bool),
+                            kp_pw=kp_pw, n_match=res.count, ok=ok)
 
-        # -- trackLocalMap ---------------------------------------------------
-        member = jnp.zeros((P,), bool).at[jnp.maximum(kp_pt, 0)].max(kp_pt >= 0)
+        if use_bow:
+            a2 = jax.lax.cond(~a1.ok & ~state.lost, attempt_ref, lambda _: fail, None)
+
+            # ------------- attempt 3: relocalization -----------------------
+            def attempt_reloc(_):
+                score, shared = bow_ret.scores_vs_keyframes(
+                    uniq_c, wgt_c, m.kf_bow_word, m.kf_bow_weight,
+                    m.kf_valid.astype(jnp.float32),
+                )
+                cand = bow_ret.reloc_candidates(score, shared, m.covis, m.kf_valid)
+                kf = jnp.argmax(jnp.where(cand, score, -1.0)).astype(jnp.int32)
+                any_cand = jnp.any(cand)
+
+                row = m.kf_mp[kf]
+                pt_live = m.pt_valid[jnp.maximum(row, 0)]
+                res = bow_match.search_by_bow_kf_frame(
+                    kf_desc=m.kf_desc[kf],
+                    kf_groups=bow_voc.feature_groups(voc, m.kf_word[kf]),
+                    kf_mp=row, kf_angle=m.kf_angle[kf], kf_pt_valid=pt_live,
+                    f_desc=feats.desc, f_groups=groups_c, f_angle=feats.angle,
+                    f_valid=feats.valid, ratio=0.75,
+                )
+                kp_pt = res.assign
+                p_cam = cam.pixel2camera(feats.uv_und, jnp.maximum(feats.depth, 1e-3))
+                Tr, _, n_ransac = ransac.ransac_pose_3d3d(
+                    m.pt_pos[jnp.maximum(kp_pt, 0)], p_cam, feats.uv_und,
+                    (feats.depth > 0) & (kp_pt >= 0), kp_pt >= 0,
+                    cam.fx, cam.fy, cam.cx, cam.cy, frame_id,
+                )
+                T3, kp_pt3, _, n_obs = _solve_and_cull(
+                    m, feats, Tr, kp_pt, jnp.zeros((N,), bool),
+                    m.pt_pos[jnp.maximum(kp_pt, 0)], inv_level_sigma2, cam
+                )
+
+                # projection top-ups to reach >=50 (visualOdometry.cpp:330-389)
+                def topup(T_in, kp_in, radius, th):
+                    in_set = jnp.zeros((P,), bool).at[jnp.maximum(kp_in, 0)].max(kp_in >= 0)
+                    src_ok = (row >= 0) & pt_live & ~in_set[jnp.maximum(row, 0)]
+                    res2 = matcher.search_by_projection_kf(
+                        p_world=m.pt_pos[jnp.maximum(row, 0)],
+                        src_desc=m.pt_desc[jnp.maximum(row, 0)],
+                        src_angle=m.kf_angle[kf],
+                        src_min_dist=0.8 * m.pt_min_dist[jnp.maximum(row, 0)],
+                        src_max_dist=1.2 * m.pt_max_dist[jnp.maximum(row, 0)],
+                        src_pt=row, src_valid=src_ok,
+                        tgt_uv_und=feats.uv_und, tgt_angle=feats.angle,
+                        tgt_octave=feats.octave, tgt_desc=feats.desc,
+                        tgt_valid=feats.valid, tgt_blocked=kp_in >= 0,
+                        T_c_w=T_in, scale_factors=scale_factors,
+                        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                        width=float(cam.width), height=float(cam.height),
+                        radius=radius, dist_threshold=th,
+                    )
+                    matched = res2.idx >= 0
+                    tgt = jnp.where(matched, res2.idx, N)
+                    src_ids = jnp.arange(N, dtype=jnp.int32)
+                    winner = (
+                        jnp.full((N + 1,), -1, jnp.int32)
+                        .at[tgt].max(jnp.where(matched, src_ids, -1))[:N]
+                    )
+                    add_pt = jnp.where(winner >= 0, row[jnp.maximum(winner, 0)], -1)
+                    kp_new = jnp.where(kp_in >= 0, kp_in, add_pt)
+                    T_out, kp_out, _, n_out = _solve_and_cull(
+                        m, feats, T_in, kp_new, jnp.zeros((N,), bool),
+                        m.pt_pos[jnp.maximum(kp_new, 0)], inv_level_sigma2, cam
+                    )
+                    return T_out, kp_out, n_out, res2.count
+
+                def do_topups(args):
+                    T_in, kp_in, n_in = args
+                    T_a, kp_a, n_a, add1 = topup(T_in, kp_in, 10.0, 100.0)
+                    use_a = (n_in + add1) >= 50
+
+                    def second(args2):
+                        T_b, kp_b, n_b = args2
+                        T_c2, kp_c2, n_c2, add2 = topup(T_b, kp_b, 3.0, 60.0)
+                        use_b = (n_b + add2) >= 50
+                        return jax.tree.map(
+                            lambda x, y: jnp.where(use_b, x, y),
+                            (T_c2, kp_c2, n_c2), (T_b, kp_b, n_b),
+                        )
+
+                    T_f, kp_f, n_f = jax.lax.cond(
+                        use_a & (n_a > 30) & (n_a < 50),
+                        second,
+                        lambda a: a,
+                        (T_a, kp_a, n_a),
+                    )
+                    return jax.tree.map(
+                        lambda x, y: jnp.where(use_a, x, y),
+                        (T_f, kp_f, n_f), (T_in, kp_in, n_in),
+                    )
+
+                T4, kp_pt4, n_obs4 = jax.lax.cond(
+                    n_obs < 50, do_topups, lambda a: a, (T3, kp_pt3, n_obs)
+                )
+                ok = any_cand & (res.count >= 15) & (n_ransac >= 10) & (n_obs4 >= 50)
+                return _Attempt(
+                    T=T4, kp_pt=jnp.where(ok, kp_pt4, -1),
+                    kp_temp=jnp.zeros((N,), bool),
+                    kp_pw=m.pt_pos[jnp.maximum(kp_pt4, 0)],
+                    n_match=res.count, ok=ok,
+                )
+
+            a3 = jax.lax.cond(~a1.ok & ~a2.ok, attempt_reloc, lambda _: fail, None)
+        else:
+            a2 = fail
+            a3 = fail
+
+        pick2 = jax.tree.map(lambda x, y: jnp.where(a1.ok, x, y), a1, a2)
+        att = jax.tree.map(lambda x, y: jnp.where(pick2.ok, x, y), pick2, a3)
+        relocalized = a3.ok & ~a1.ok & ~a2.ok
+        reloc_frame = jnp.where(relocalized, frame_id, state.last_reloc_frame)
+        track_pre = att.ok
+        kp_pw_cur = jnp.where(
+            (att.kp_pt >= 0)[:, None], m.pt_pos[jnp.maximum(att.kp_pt, 0)], att.kp_pw
+        )
+
+        # ---------------- trackLocalMap ------------------------------------
+        member = jnp.zeros((P,), bool).at[jnp.maximum(att.kp_pt, 0)].max(att.kp_pt >= 0)
         local_kf, ref_kf = local_map.local_keyframe_mask(m, member)
-        cand = local_map.local_point_mask(m, local_kf) & ~member
-        fr = local_map.frustum_check(m, T1, cam, scale_factors)
-        blocked = _observed(m, kp_pt)
+        ref_kf = jnp.where(jnp.any(member), ref_kf, state.ref_kf)
+        cand_pts = local_map.local_point_mask(m, local_kf) & ~member
+        fr = local_map.frustum_check(m, att.T, cam, scale_factors)
+        blocked = _observed(m, att.kp_pt)
+        th_rad = jnp.where(frame_id < reloc_frame + 2, 5.0, 3.0)
         lm = local_map.search_local_points(
-            m, fr, cand, feats.uv_und, feats.u_right, feats.octave, feats.desc,
-            feats.valid, blocked, scale_factors, 3.0,
+            m, fr, cand_pts, feats.uv_und, feats.u_right, feats.octave, feats.desc,
+            feats.valid, blocked, scale_factors, th_rad,
         )
-        # local match overwrites temp/empty slots
-        kp_pt2 = jnp.where(lm.assign >= 0, lm.assign, kp_pt)
-        kp_temp2 = kp_temp & (lm.assign < 0)
-        kp_pw2 = jnp.where(
-            (kp_pt2 >= 0)[:, None], m.pt_pos[jnp.maximum(kp_pt2, 0)], kp_pw
-        )
-        has2 = (kp_pt2 >= 0) | kp_temp2
+        kp_pt2 = jnp.where(lm.assign >= 0, lm.assign, att.kp_pt)
+        kp_temp2 = att.kp_temp & (lm.assign < 0)
+        kp_pw2 = jnp.where((kp_pt2 >= 0)[:, None], m.pt_pos[jnp.maximum(kp_pt2, 0)], kp_pw_cur)
 
+        has2 = (kp_pt2 >= 0) | kp_temp2
         obs2 = pose_only.PoseObs(
             p_world=kp_pw2, uv=feats.uv_und,
             u_right=jnp.where(has2, feats.u_right, -1.0),
             inv_sigma2=inv_level_sigma2[feats.octave], valid=has2,
         )
-        T2, inl2, _n2 = pose_only.solve_pose_only(
-            T1, obs2, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        T2, inl2, _ = pose_only.solve_pose_only(
+            att.T, obs2, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
         )
-
         real2 = kp_pt2 >= 0
         inlier_real = real2 & inl2
         observed_inliers = jnp.sum(
             (inlier_real & (m.pt_obs_cnt[jnp.maximum(kp_pt2, 0)] > 0)).astype(jnp.int32)
         )
-        ok = motion_ok & (observed_inliers >= 30)
+        gate = jnp.where(frame_id < reloc_frame + max_frame_gap, 50, 30)
+        ok = track_pre & (observed_inliers >= gate)
 
-        # found/visible bookkeeping (mappoint.cpp:269-331; VO :598-612,:744-751)
         vis_pts = jnp.zeros((P,), bool).at[jnp.maximum(kp_pt2, 0)].max(real2)
         vis_pts = vis_pts | lm.visible_mask
         found_pts = jnp.zeros((P,), bool).at[jnp.maximum(kp_pt2, 0)].max(inlier_real)
@@ -228,10 +422,10 @@ def slam_step(
             pt_found=m.pt_found + found_pts.astype(jnp.int32),
         )
 
-        T_new = jnp.where(ok, T2, T_pred)
-        assign_final = jnp.where(inlier_real, kp_pt2, -1)  # culling outliers+temp
+        T_new = jnp.where(ok, T2, att.T)
+        assign_final = jnp.where(inlier_real, kp_pt2, -1)
 
-        # -- keyframe policy (needNewKeyFrame, :397-461) --------------------
+        # ---------------- keyframe policy ----------------------------------
         kf_cnt = jnp.sum(m.kf_valid.astype(jnp.int32))
         min_obs = jnp.where(kf_cnt <= 2, 2, 3)
         ref_row = m.kf_mp[ref_kf]
@@ -247,27 +441,18 @@ def slam_step(
         map_threshold = jnp.where(observed_inliers > 300, 0.20, 0.35)
         track_weak = map_ratio < 0.3
         ref_threshold = jnp.where(kf_cnt < 2, 0.40, 0.75)
-        track_gap = frame_id >= state.last_kf_frame + max_frame_gap
-        track_gap = track_gap | True  # synchronous mapper always accepts
         track_verify = (ref_ratio < ref_threshold) | (map_ratio < map_threshold)
-        need_kf = ok & (track_weak | ref_weak | (track_gap & track_verify))
+        need_kf = ok & (track_weak | ref_weak | track_verify)
+        need_kf &= ~((frame_id < reloc_frame + max_frame_gap) & (kf_cnt > max_frame_gap))
         need_kf &= m.n_kf < caps.max_kf
 
-        # -- conditional keyframe insertion ---------------------------------
-        def do_insert(m):
-            already = _observed(m, assign_final)
-            create = map_insert.spawn_mask_depth_sorted(feats, already, cam.th_depth)
-            m2, kf_id = map_insert.insert_keyframe(
-                m, caps, feats, T_new, timestamp, frame_id,
-                assign_final, create, cam, scale_factors,
-            )
-            return m2, kf_id
-
         m, new_kf = jax.lax.cond(
-            need_kf, do_insert, lambda m: (m, jnp.asarray(-1, jnp.int32)), m
+            need_kf,
+            lambda m: insert_kf(m, T_new, assign_final),
+            lambda m: (m, jnp.asarray(-1, jnp.int32)),
+            m,
         )
         ref_kf_out = jnp.where(need_kf, new_kf, ref_kf)
-        # keyframe slots bind their own kp->point row
         assign_out = jnp.where(need_kf, m.kf_mp[jnp.maximum(new_kf, 0)], assign_final)
 
         T_cr = T_new @ lie.se3_inverse(m.kf_pose[jnp.maximum(ref_kf_out, 0)])
@@ -276,13 +461,15 @@ def slam_step(
         st = SlamTrackState(
             feats=feats, assign_real=assign_out, T_cr=T_cr, ref_kf=ref_kf_out,
             T_cl=T_cl, motion_valid=ok, initialized=jnp.asarray(True),
+            lost=~ok,
             last_kf_frame=jnp.where(need_kf, frame_id, state.last_kf_frame),
             last_was_kf=need_kf,
+            last_reloc_frame=reloc_frame,
         )
         out = SlamOut(
             T_c_w=T_new, T_cr=T_cr, ref_kf=ref_kf_out, ok=ok,
-            n_features=n_feats, n_matches=res.count,
-            n_inliers=observed_inliers, made_kf=need_kf,
+            n_features=n_feats, n_matches=att.n_match,
+            n_inliers=observed_inliers, made_kf=need_kf, relocalized=relocalized,
         )
         return st, m, out
 
@@ -302,13 +489,15 @@ def mapping_step(
     with a no-op branch (so the host never syncs on the made_kf flag).
 
     Order mirrors LocalMapping::run (localMapping.cpp:16-66):
-    cullingMapPoints -> createNewMapPoints -> local BA -> cullingKeyFrames.
+    cullingMapPoints -> createNewMapPoints -> searchInNeighbors (fuse) ->
+    local BA -> cullingKeyFrames.
     """
 
     def work(m):
         kid = jnp.maximum(kf_id, 0)
         m = culling.cull_map_points(m, kid, caps)
         m = triangulate.create_new_map_points(m, kid, caps, cam, scale_factors)
+        m = fuse.search_in_neighbors(m, kid, caps, cam, scale_factors)
         m = local_ba.local_bundle_adjust(m, kid, caps, cam)
         m = culling.cull_keyframes(m, kid, caps, cam)
         return m
@@ -319,7 +508,12 @@ def mapping_step(
 class SlamSystem:
     """Tracking + (synchronous lite) mapping over an RGB-D stream."""
 
-    def __init__(self, cfg: SlamConfig, caps: MapCaps = MapCaps()):
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        caps: MapCaps = MapCaps(),
+        vocabulary: Optional[bow_voc.Vocabulary] = None,
+    ):
         self.cfg = cfg
         self.caps = caps
         self.camera = Camera.from_config(cfg)
@@ -334,9 +528,15 @@ class SlamSystem:
         self.fast_hi = float(cfg.ini_fast_threshold)
         self.fast_lo = float(cfg.min_fast_threshold)
         self.max_frame_gap = int(cfg.camera_fps)
+        self.voc = vocabulary
+        self.use_bow = vocabulary is not None
 
         self.map = empty_map(caps)
         self.state = self._empty_state()
+        self.loop_state = loop_closing.empty_loop_state(caps)
+        self.enable_loop_closing = self.use_bow
+        self._pending_loop: List = []   # (frame_idx, cand_device_scalar, kf_id)
+        self.loop_closures: List[int] = []
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
         self._frame_id = 0
@@ -354,8 +554,10 @@ class SlamSystem:
             feats=feats, assign_real=jnp.full((N,), -1, jnp.int32),
             T_cr=eye, ref_kf=jnp.asarray(0, jnp.int32), T_cl=eye,
             motion_valid=jnp.asarray(False), initialized=jnp.asarray(False),
+            lost=jnp.asarray(False),
             last_kf_frame=jnp.asarray(-10_000, jnp.int32),
             last_was_kf=jnp.asarray(False),
+            last_reloc_frame=jnp.asarray(-10_000, jnp.int32),
         )
 
     def track(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> None:
@@ -367,24 +569,64 @@ class SlamSystem:
             self.camera, self.caps, self.spec, self.budgets,
             self.scale_factors, self.inv_level_sigma2,
             self.fast_hi, self.fast_lo, self.max_frame_gap,
+            self.voc, self.use_bow,
         )
         self.map = mapping_step(
             self.map, out.made_kf, out.ref_kf, self.caps, self.camera, self.scale_factors
         )
+        if self.enable_loop_closing:
+            self.loop_state, cand = loop_closing.detect_step(
+                self.map, self.loop_state, out.made_kf, out.ref_kf, self.caps
+            )
+            self._pending_loop.append((self._frame_id, cand, out.ref_kf))
+            self._drain_loop_queue()
         self._outs.append(out)
         self.timestamps.append(timestamp)
         self._frame_id += 1
 
+    def _drain_loop_queue(self, final: bool = False) -> None:
+        """Check past loop detections (lagging one frame to avoid stalling
+        the stream) and run the heavy Sim3-verification/correction step for
+        confirmed candidates — the async analogue of the reference's
+        LoopClosing thread."""
+        while self._pending_loop and (final or len(self._pending_loop) > 1):
+            frame_idx, cand, kf_id = self._pending_loop.pop(0)
+            cand_i = int(np.asarray(cand))
+            if cand_i < 0:
+                continue
+            g_curr = bow_voc.feature_groups(self.voc, self.map.kf_word[jnp.maximum(kf_id, 0)])
+            g_cand = bow_voc.feature_groups(self.voc, self.map.kf_word[cand_i])
+            self.map, self.loop_state, accepted = loop_closing.close_step(
+                self.map, self.loop_state, kf_id, jnp.asarray(cand_i, jnp.int32),
+                self.caps, self.camera, self.scale_factors, g_curr, g_cand,
+            )
+            if bool(np.asarray(accepted)):
+                self.loop_closures.append(frame_idx)
+
     def results(self):
         """Blocks; returns (trajectory T_w_c [F,4,4], stats, kf_traj)."""
+        if self.enable_loop_closing:
+            self._drain_loop_queue(final=True)
         outs = jax.device_get(self._outs)
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
+        parent = np.asarray(self.map.parent)
+        kf_tcp = np.asarray(self.map.kf_tcp)
         traj, stats = [], []
         for o in outs:
             ref = int(o.ref_kf)
-            # reconstruct against final keyframe poses (vo_run.cpp:187-232)
-            T_c_w = np.asarray(o.T_cr) @ kf_pose[ref] if kf_valid[ref] else np.asarray(o.T_c_w)
+            T_cr = np.asarray(o.T_cr)
+            # bad-KF recovery through the Tcp parent chain (vo_run.cpp:207-226)
+            T_rp = np.eye(4, dtype=np.float32)
+            hops = 0
+            while ref >= 0 and not kf_valid[ref] and hops < 64:
+                T_rp = T_rp @ kf_tcp[ref]
+                ref = int(parent[ref])
+                hops += 1
+            if ref >= 0 and kf_valid[ref]:
+                T_c_w = T_cr @ T_rp @ kf_pose[ref]
+            else:
+                T_c_w = np.asarray(o.T_c_w)
             traj.append(np.linalg.inv(T_c_w))
             stats.append(
                 TrackStats(
@@ -405,3 +647,25 @@ class SlamSystem:
     @property
     def n_points(self) -> int:
         return int(np.asarray(self.map.pt_valid).sum())
+
+    def create_vocabulary(self, k: int = 10, levels: int = 4, seed: int = 0):
+        """Build a scene-specific vocabulary from the tracked keyframe
+        descriptors — the capability the reference added over stock
+        ORB-SLAM2 (map.cpp:60-99, including lost-frame descriptors; here all
+        keyframe descriptors participate). Returns a Vocabulary; save with
+        .save(path)."""
+        kf_valid = np.asarray(self.map.kf_valid)
+        descs = []
+        kf_desc = np.asarray(self.map.kf_desc)
+        kp_valid = np.asarray(self.map.kf_kp_valid)
+        for kf in np.nonzero(kf_valid)[0]:
+            descs.append(kf_desc[kf][kp_valid[kf]])
+        if not descs:
+            raise RuntimeError("no keyframes to build a vocabulary from")
+        return bow_voc.build_vocabulary(
+            np.concatenate(descs), k=k, levels=levels, seed=seed
+        )
+
+    @property
+    def reloc_frames(self) -> List[int]:
+        return [i for i, o in enumerate(jax.device_get(self._outs)) if bool(o.relocalized)]

@@ -29,6 +29,14 @@ def main(argv=None):
         "--sync", action="store_true",
         help="use the host-synchronous tracker (per-frame stats printed live)",
     )
+    ap.add_argument("--slam", action="store_true",
+                    help="full SLAM (map + local BA) instead of frame-to-frame VO")
+    ap.add_argument("--vocabulary", default=None,
+                    help="vocabulary .npz for BoW relocalization / loop closing")
+    ap.add_argument("--vocabulary-out", default=None,
+                    help="build a scene vocabulary from tracked keyframes and save it here (implies --slam)")
+    ap.add_argument("--keyframe-out", default=None,
+                    help="save the keyframe trajectory (TUM format) here (implies --slam)")
     args = ap.parse_args(argv)
 
     from .config import SlamConfig
@@ -50,7 +58,36 @@ def main(argv=None):
         cfg = SlamConfig.from_yaml(args.config)
         seq = TumDataset(cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num)
 
-    if args.sync:
+    if args.vocabulary_out or args.keyframe_out:
+        args.slam = True
+
+    if args.slam:
+        from .bow.vocabulary import Vocabulary
+        from .pipeline.system import SlamSystem
+
+        voc = Vocabulary.load(args.vocabulary) if args.vocabulary else None
+        tracker = SlamSystem(cfg, vocabulary=voc)
+        t0 = time.perf_counter()
+        for i in range(len(seq)):
+            gray, depth, ts = seq[i]
+            tracker.track(gray, depth, ts)
+        trajectory, stats, kf_traj = tracker.results()
+        wall = time.perf_counter() - t0
+        print(f"wall time: {wall/len(seq)*1000:.2f} ms/frame (incl. first-frame compile)")
+        print(f"keyframes: {tracker.n_keyframes}  map points: {tracker.n_points}")
+        if tracker.reloc_frames:
+            print(f"relocalizations at frames: {tracker.reloc_frames}")
+        if tracker.loop_closures:
+            print(f"loop closures at frames: {tracker.loop_closures}")
+        if args.keyframe_out:
+            write_trajectory_tum(
+                args.keyframe_out, [t for t, _ in kf_traj], np.stack([T for _, T in kf_traj])
+            )
+            print(f"keyframe trajectory saved to {args.keyframe_out}")
+        if args.vocabulary_out:
+            tracker.create_vocabulary().save(args.vocabulary_out)
+            print(f"scene vocabulary saved to {args.vocabulary_out}")
+    elif args.sync:
         tracker = FrameToFrameTracker(cfg)
         times = []
         stats = []

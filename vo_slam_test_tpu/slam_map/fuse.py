@@ -1,0 +1,265 @@
+"""Map-point fusion (one jit per target keyframe).
+
+Covers Matcher::fuseMapPoints (reference: matcher.cpp:1012-1133) and
+LocalMapping::searchInNeighbors' two-hop orchestration
+(localMapping.cpp:363-432), including MapPoint::replaceMapPoint's
+observation rewiring (mappoint.cpp:214-253).
+
+Candidate points are projected into the target keyframe; keypoints within
+the predicted-scale window pass per-pair chi2 reprojection gates
+(5.991/7.815) BEFORE the Hamming test (best <= TH_LOW=50). A match into an
+empty slot binds the point; a match onto an occupied slot merges the two
+points, the one with more observations winning, with the loser's
+observations rewired slot-by-slot onto the winner.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..camera import Camera
+from ..ops import hamming
+from .map_state import MapCaps, MapState
+from .culling import erase_points
+
+MAX_FUSE = 4096
+TH_LOW = 50
+
+
+def _compact_ids(mask: jnp.ndarray, size: int) -> jnp.ndarray:
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < size), pos, size)
+    return jnp.full((size + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )[:size]
+
+
+@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+def fuse_into_keyframe(
+    m: MapState,
+    kf_id: jnp.ndarray,
+    cand_mask: jnp.ndarray,   # [P] candidate points to fuse into kf_id
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+    threshold: float = 3.0,
+) -> MapState:
+    P = caps.max_pt
+    N = caps.n_feat
+    K = m.kf_valid.shape[0]
+    O = m.pt_obs_kf.shape[1]
+
+    T = m.kf_pose[kf_id]
+    R, t = T[:3, :3], T[:3, 3]
+    ow = -R.T @ t
+
+    # exclude points already observed by this keyframe (matcher.cpp:1029)
+    seen_here = jnp.any(m.pt_obs_kf == kf_id, axis=1)
+    cand = cand_mask & m.pt_valid & ~seen_here
+
+    pc = m.pt_pos @ R.T + t
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * pc[:, 0] / safe_z + cam.cx
+    v = cam.fy * pc[:, 1] / safe_z + cam.cy
+    ur = u - cam.bf / safe_z
+    line = m.pt_pos - ow
+    dist = jnp.linalg.norm(line, axis=-1)
+    view_ok = jnp.sum(line * m.pt_normal, axis=-1) >= 0.5 * dist
+    cand &= (
+        (z > 0) & (u > 0) & (u < cam.width) & (v > 0) & (v < cam.height)
+        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist) & view_ok
+    )
+    ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
+    pred = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factors[1])).astype(jnp.int32),
+        0, scale_factors.shape[0] - 1,
+    )
+
+    ids = _compact_ids(cand, MAX_FUSE)
+    ok = ids >= 0
+    sid = jnp.maximum(ids, 0)
+    c_u, c_v, c_ur = u[sid], v[sid], ur[sid]
+    c_pred = pred[sid]
+    c_desc = m.pt_desc[sid]
+    radius = threshold * scale_factors[c_pred]
+
+    kp_uv = m.kf_uv_und[kf_id]
+    kp_oct = m.kf_octave[kf_id]
+    kp_ur = m.kf_u_right[kf_id]
+    kp_ok = m.kf_kp_valid[kf_id]
+    inv_sig2 = 1.0 / scale_factors[kp_oct] ** 2
+
+    du = kp_uv[None, :, 0] - c_u[:, None]
+    dv = kp_uv[None, :, 1] - c_v[:, None]
+    window = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
+    oct_win = (kp_oct[None, :] >= (c_pred - 1)[:, None]) & (kp_oct[None, :] <= c_pred[:, None])
+    e2 = du * du + dv * dv
+    e2s = e2 + (c_ur[:, None] - kp_ur[None, :]) ** 2
+    stereo = kp_ur[None, :] >= 0
+    chi_ok = jnp.where(
+        stereo, e2s * inv_sig2[None, :] <= 7.815, e2 * inv_sig2[None, :] <= 5.991
+    )
+    allowed = window & oct_win & chi_ok & ok[:, None] & kp_ok[None, :]
+
+    D = jnp.where(allowed, hamming.distance_matrix(c_desc, m.kf_desc[kf_id]), 1 << 20)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    matched = best_d <= TH_LOW
+
+    # dedup per keypoint: lowest candidate slot wins
+    src_ids = jnp.arange(MAX_FUSE, dtype=jnp.int32)
+    claim = (
+        jnp.full((N + 1,), MAX_FUSE, jnp.int32)
+        .at[jnp.where(matched, best, N)]
+        .min(jnp.where(matched, src_ids, MAX_FUSE))[:N]
+    )
+    matched &= claim[jnp.maximum(best, 0)] == src_ids
+
+    cand_pt = ids                       # [MAX_FUSE]
+    kp_sel = best
+    org = m.kf_mp[kf_id, jnp.maximum(kp_sel, 0)]  # existing binding (-1 empty)
+    org_live = (org >= 0) & m.pt_valid[jnp.maximum(org, 0)]
+
+    # --- case A: empty slot -> bind candidate --------------------------------
+    bindA = matched & ~org_live
+    kp_w = jnp.where(bindA, kp_sel, N - 1)
+    m = m.replace(
+        kf_mp=m.kf_mp.at[kf_id, kp_w].set(
+            jnp.where(bindA, cand_pt, m.kf_mp[kf_id, kp_w])
+        )
+    )
+    # append observation (kf_id, kp) to each bound candidate
+    free = m.pt_obs_kf[jnp.maximum(cand_pt, 0)] < 0
+    slot = jnp.argmax(free, axis=1)
+    can_app = bindA & jnp.any(free, axis=1)
+    pr = jnp.where(can_app, cand_pt, P - 1)
+    pcol = jnp.where(can_app, slot, O - 1)
+    m = m.replace(
+        pt_obs_kf=m.pt_obs_kf.at[pr, pcol].set(jnp.where(can_app, kf_id, m.pt_obs_kf[pr, pcol])),
+        pt_obs_kp=m.pt_obs_kp.at[pr, pcol].set(jnp.where(can_app, kp_sel, m.pt_obs_kp[pr, pcol])),
+        pt_obs_cnt=m.pt_obs_cnt.at[jnp.where(bindA, cand_pt, P - 1)].add(jnp.where(bindA, 1, 0)),
+    )
+
+    # --- case B: occupied slot -> merge, more observations wins --------------
+    merge = matched & org_live & (org != cand_pt)
+    org_s = jnp.maximum(org, 0)
+    cand_s = jnp.maximum(cand_pt, 0)
+    org_wins = m.pt_obs_cnt[org_s] > m.pt_obs_cnt[cand_s]
+    winner = jnp.where(org_wins, org_s, cand_s)
+    loser = jnp.where(org_wins, cand_s, org_s)
+    m = _replace_points(m, loser, winner, merge)
+    return m
+
+
+def _replace_points(m: MapState, loser: jnp.ndarray, winner: jnp.ndarray, mask: jnp.ndarray) -> MapState:
+    """Rewire each loser's observations onto its winner, then erase the loser
+    (mappoint.cpp:214-253). loser/winner: [n] point ids; mask: [n]."""
+    P, O = m.pt_obs_kf.shape
+    K, N = m.kf_mp.shape
+
+    # found/visible transfer
+    l_s = jnp.where(mask, loser, P - 1)
+    m = m.replace(
+        pt_found=m.pt_found.at[jnp.where(mask, winner, P - 1)].add(
+            jnp.where(mask, m.pt_found[l_s], 0)
+        ),
+        pt_visible=m.pt_visible.at[jnp.where(mask, winner, P - 1)].add(
+            jnp.where(mask, m.pt_visible[l_s], 0)
+        ),
+    )
+
+    def body(o, m):
+        okf = m.pt_obs_kf[jnp.where(mask, loser, P - 1), o]   # [n]
+        okp = m.pt_obs_kp[jnp.where(mask, loser, P - 1), o]
+        has = mask & (okf >= 0)
+        # does the winner already observe this keyframe?
+        w_rows = m.pt_obs_kf[jnp.where(has, winner, P - 1)]    # [n,O]
+        dup = jnp.any(w_rows == okf[:, None], axis=1) & has
+        move = has & ~dup
+        kf_w = jnp.where(has, okf, K - 1)
+        kp_w = jnp.where(has, okp, N - 1)
+        # rebind or clear the keyframe slot
+        new_val = jnp.where(move, winner, -1)
+        m = m.replace(
+            kf_mp=m.kf_mp.at[kf_w, kp_w].set(jnp.where(has, new_val, m.kf_mp[kf_w, kp_w]))
+        )
+        # append the moved observation to the winner
+        freew = m.pt_obs_kf[jnp.where(move, winner, P - 1)] < 0
+        slot = jnp.argmax(freew, axis=1)
+        can = move & jnp.any(freew, axis=1)
+        pr = jnp.where(can, winner, P - 1)
+        pc_ = jnp.where(can, slot, O - 1)
+        m = m.replace(
+            pt_obs_kf=m.pt_obs_kf.at[pr, pc_].set(jnp.where(can, okf, m.pt_obs_kf[pr, pc_])),
+            pt_obs_kp=m.pt_obs_kp.at[pr, pc_].set(jnp.where(can, okp, m.pt_obs_kp[pr, pc_])),
+            pt_obs_cnt=m.pt_obs_cnt.at[jnp.where(move, winner, P - 1)].add(jnp.where(move, 1, 0)),
+        )
+        return m
+
+    m = jax.lax.fori_loop(0, O, body, m)
+    # erase losers
+    bad = jnp.zeros((P,), bool).at[jnp.where(mask, loser, P - 1)].max(mask)
+    bad = bad.at[P - 1].set(False)
+    return erase_points(m, bad)
+
+
+def two_hop_neighbors(m: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
+    """[K] mask: 10 best covisibles + 5 best covisibles of each
+    (localMapping.cpp:365-390), excluding kf_id."""
+    K = m.kf_valid.shape[0]
+    w = jnp.where(m.kf_valid[None, :], m.covis, 0)
+    first = jnp.argsort(-w[kf_id])[:10]
+    first_ok = w[kf_id][first] > 0
+    mask = jnp.zeros((K,), bool).at[jnp.where(first_ok, first, K - 1)].max(first_ok)
+    # second hop
+    second = jnp.argsort(-w[first], axis=1)[:, :5]              # [10,5]
+    sec_ok = jnp.take_along_axis(w[first], second, axis=1) > 0
+    sec_ok &= first_ok[:, None]
+    mask = mask.at[jnp.where(sec_ok, second, K - 1)].max(sec_ok)
+    mask = mask.at[kf_id].set(False)
+    return mask & m.kf_valid
+
+
+def search_in_neighbors(
+    m: MapState, kf_id: jnp.ndarray, caps: MapCaps, cam: Camera, scale_factors: jnp.ndarray
+) -> MapState:
+    """Two-hop fuse around a new keyframe (localMapping.cpp:363-432):
+    fuse the KF's points into every neighbor, then every neighbor's points
+    into the KF, then refresh the touched points and the covisibility row."""
+    from .insert import refresh_points
+    from .map_state import covis_row_for
+
+    P = caps.max_pt
+    K = m.kf_valid.shape[0]
+    nb_mask = two_hop_neighbors(m, kf_id)
+    nb_ids = _compact_ids(nb_mask, 16)  # [16], -1 padded
+
+    row = m.kf_mp[kf_id]
+    curr_pts = jnp.zeros((P,), bool).at[jnp.maximum(row, 0)].max(row >= 0)
+
+    def body(i, m):
+        nb = nb_ids[i]
+        mask = jnp.where(nb >= 0, curr_pts, jnp.zeros_like(curr_pts))
+        return fuse_into_keyframe(m, jnp.maximum(nb, 0), mask, caps, cam, scale_factors)
+
+    m = jax.lax.fori_loop(0, 16, body, m)
+
+    # neighbors' points -> current keyframe
+    rows_on = nb_mask[:, None] & (m.kf_mp >= 0)
+    flat_pt = jnp.where(rows_on, m.kf_mp, P - 1).reshape(-1)
+    nb_pts = jnp.zeros((P,), bool).at[flat_pt].max(rows_on.reshape(-1))
+    m = fuse_into_keyframe(m, kf_id, nb_pts, caps, cam, scale_factors)
+
+    # refresh stats of the KF's (possibly replaced) points + covisibility
+    row2 = m.kf_mp[kf_id]
+    touched = jnp.zeros((P,), bool).at[jnp.maximum(row2, 0)].max(row2 >= 0)
+    m = refresh_points(m, touched, scale_factors)
+    w = covis_row_for(m, touched).at[kf_id].set(0)
+    m = m.replace(covis=m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w))
+    return m

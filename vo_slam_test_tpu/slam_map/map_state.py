@@ -64,6 +64,7 @@ class MapState:
     parent: jnp.ndarray        # [K] i32 spanning-tree parent (-1 root)
     kf_tcp: jnp.ndarray        # [K,4,4] pose relative to parent at cull time
                                # (keyframe.cpp:486 Tcp backup for recovery)
+    loop_edges: jnp.ndarray    # [K,K] bool loop-closure edges (keyframe.cpp:528-533)
     # -- map points (mappoint.h:13-94) --------------------------------------
     pt_pos: jnp.ndarray        # [P,3] f32
     pt_normal: jnp.ndarray     # [P,3] f32
@@ -104,6 +105,7 @@ def empty_map(caps: MapCaps) -> MapState:
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), -1, jnp.int32),
         kf_tcp=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        loop_edges=f((K, K), bool),
         pt_pos=f((P, 3)),
         pt_normal=f((P, 3)),
         pt_desc=f((P, 8), jnp.uint32),
