@@ -20,7 +20,7 @@ BASELINE_MS = 70.0
 def main():
     from vo_slam_test_tpu.config import SlamConfig
     from vo_slam_test_tpu.datasets import SyntheticRGBD
-    from vo_slam_test_tpu.pipeline.tracking import FusedTracker
+    from vo_slam_test_tpu.pipeline.system import SlamSystem
 
     n_frames = 40
     seq = SyntheticRGBD(n_frames=n_frames, seed=0, motion_scale=0.4)
@@ -30,17 +30,17 @@ def main():
     )
     frames = [seq[i] for i in range(n_frames)]
 
-    # warmup / compile
-    warm = FusedTracker(cfg)
-    warm.track(*frames[0])
-    warm.track(*frames[1])
+    # warmup / compile (full SLAM: tracking + mapping + local BA)
+    warm = SlamSystem(cfg)
+    for f in frames[:3]:
+        warm.track(*f)
     warm.results()
 
-    tracker = FusedTracker(cfg)
+    tracker = SlamSystem(cfg)
     t0 = time.perf_counter()
     for gray, depth, ts in frames:
         tracker.track(gray, depth, ts)
-    traj, stats = tracker.results()
+    traj, stats, _ = tracker.results()
     wall = time.perf_counter() - t0
 
     n_ok = sum(s.ok for s in stats)

@@ -85,17 +85,49 @@ def _imread_depth(path: str) -> np.ndarray:
 
 
 class TumDataset:
-    """Iterates (gray u8 HxW, depth f32 HxW in meters, timestamp) triples."""
+    """Iterates (gray u8 HxW, depth f32 HxW in meters, timestamp) triples.
 
-    def __init__(self, dataset_dir: str, depth_scale: float = 5000.0, limit: int = 0):
+    Sequential access uses the native C++ prefetching decoder
+    (native/dataloader.cpp) when it builds; random access or a missing
+    toolchain falls back to cv2/imageio on the Python thread.
+    """
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        depth_scale: float = 5000.0,
+        limit: int = 0,
+        use_native: bool = True,
+        width: int = 640,
+        height: int = 480,
+    ):
         self.dataset_dir = dataset_dir
         self.depth_scale = depth_scale
         self.frames = read_associate(dataset_dir, limit=limit)
+        self._native = None
+        if use_native and self.frames:
+            try:
+                from ..native import NativeTumLoader, native_available
+
+                if native_available():
+                    self._native = NativeTumLoader(
+                        [f.rgb_path for f in self.frames],
+                        [f.depth_path for f in self.frames],
+                        [float(f.rgb_time) for f in self.frames],
+                        depth_scale=depth_scale, width=width, height=height,
+                    )
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.frames)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray, float]:
+        if self._native is not None:
+            try:
+                return self._native[i]
+            except ValueError:
+                pass  # non-sequential access: fall back
         fr = self.frames[i]
         gray = _imread_gray(fr.rgb_path)
         depth_raw = _imread_depth(fr.depth_path).astype(np.float32)

@@ -234,9 +234,13 @@ def close_step(
 
         def body(i, m):
             g = group_ids[i]
-            mask = jnp.where(g >= 0, loop_pts, jnp.zeros_like(loop_pts))
-            return fuse.fuse_into_keyframe(
-                m, jnp.maximum(g, 0), mask, caps, cam, scale_factors, threshold=4.0
+            return jax.lax.cond(
+                g >= 0,
+                lambda m: fuse.fuse_into_keyframe(
+                    m, jnp.maximum(g, 0), loop_pts, caps, cam, scale_factors, threshold=4.0
+                ),
+                lambda m: m,
+                m,
             )
 
         m = jax.lax.fori_loop(0, 16, body, m)

@@ -245,8 +245,17 @@ def search_in_neighbors(
 
     def body(i, m):
         nb = nb_ids[i]
-        mask = jnp.where(nb >= 0, curr_pts, jnp.zeros_like(curr_pts))
-        return fuse_into_keyframe(m, jnp.maximum(nb, 0), mask, caps, cam, scale_factors)
+        # skip invalid neighbor slots entirely (most maps have far fewer
+        # than 16 two-hop neighbors; a masked full pass would still pay the
+        # 4096x1024 distance matrix per slot)
+        return jax.lax.cond(
+            nb >= 0,
+            lambda m: fuse_into_keyframe(
+                m, jnp.maximum(nb, 0), curr_pts, caps, cam, scale_factors
+            ),
+            lambda m: m,
+            m,
+        )
 
     m = jax.lax.fori_loop(0, 16, body, m)
 
