@@ -70,6 +70,25 @@ class TestOrientation:
         assert diff.max() < 0.1, diff.max()
 
 
+class TestOrientationConv:
+    def test_matches_gather_version(self, frame0):
+        gray, _, _ = frame0
+        spec = PyramidSpec(640, 480, 2, 1.2)
+        pyr = build_pyramid(jnp.asarray(gray), spec)
+        rng = np.random.default_rng(3)
+        n = 64
+        ys = jnp.asarray(rng.integers(20, 380, n), jnp.int32)
+        xs = jnp.asarray(rng.integers(20, 500, n), jnp.int32)
+        lv = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+        a_gather = np.asarray(orientation.ic_angle(pyr.raw, lv, ys, xs))
+        a_conv = np.asarray(orientation.ic_angle_conv(pyr.raw, lv, ys, xs))
+        diff = np.abs(a_gather - a_conv)
+        diff = np.minimum(diff, 360 - diff)
+        # bf16x3 conv passes: well under OpenCV's own fastAtan2 error (~0.3 deg)
+        assert np.median(diff) < 0.1, np.median(diff)
+        assert diff.max() < 1.0, diff.max()
+
+
 class TestBrief:
     def test_vs_oracle(self, frame0):
         gray, _, _ = frame0

@@ -104,7 +104,9 @@ def _solve_and_cull(m, feats, T_init, kp_pt, kp_temp, kp_pw, inv_level_sigma2, c
         u_right=jnp.where(has, feats.u_right, -1.0),
         inv_sigma2=inv_level_sigma2[feats.octave], valid=has,
     )
-    T, inl, _ = pose_only.solve_pose_only(T_init, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    T, inl, _ = pose_only.solve_pose_only(
+        T_init, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, fast=True
+    )
     kp_pt = jnp.where(inl, kp_pt, -1)
     kp_temp = kp_temp & inl
     n_obs = jnp.sum(_observed(m, kp_pt).astype(jnp.int32))
@@ -383,8 +385,8 @@ def slam_step(
 
         # ---------------- trackLocalMap ------------------------------------
         member = jnp.zeros((P,), bool).at[jnp.maximum(att.kp_pt, 0)].max(att.kp_pt >= 0)
-        local_kf, ref_kf = local_map.local_keyframe_mask(m, member)
-        ref_kf = jnp.where(jnp.any(member), ref_kf, state.ref_kf)
+        local_kf, ref_kf = local_map.local_keyframe_mask(m, att.kp_pt)
+        ref_kf = jnp.where(jnp.any(att.kp_pt >= 0), ref_kf, state.ref_kf)
         cand_pts = local_map.local_point_mask(m, local_kf) & ~member
         fr = local_map.frustum_check(m, att.T, cam, scale_factors)
         blocked = _observed(m, att.kp_pt)
@@ -404,7 +406,7 @@ def slam_step(
             inv_sigma2=inv_level_sigma2[feats.octave], valid=has2,
         )
         T2, inl2, _ = pose_only.solve_pose_only(
-            att.T, obs2, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+            att.T, obs2, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, fast=True
         )
         real2 = kp_pt2 >= 0
         inlier_real = real2 & inl2

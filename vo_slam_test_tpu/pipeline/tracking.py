@@ -117,7 +117,7 @@ def _match_and_solve(
         valid=has_pt,
     )
     T_new, inlier_mask, n_inliers = pose_only.solve_pose_only(
-        T_pred, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        T_pred, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, fast=True
     )
     return T_new, inlier_mask, n_inliers, res.count, assign
 

@@ -70,32 +70,46 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
     connected &= jnp.arange(K) != 0  # never cull KF 0 (localMapping.cpp:445)
     connected &= jnp.arange(K) != curr_kf
 
-    # per-(kf, kp): is a close tracked point?
-    pt = m.kf_mp                                    # [K,N]
-    has = (pt >= 0) & m.kf_kp_valid
-    close = has & (m.kf_depth > 0) & (m.kf_depth <= cam.th_depth)
+    # compact the candidate set: the redundancy check gathers [cand, N, O]
+    # observer octaves, which is only affordable over the <=32 connected
+    # keyframes rather than the whole table
+    C = min(32, K)
+    pos = jnp.cumsum(connected.astype(jnp.int32)) - 1
+    slot = jnp.where(connected & (pos < C), pos, C)
+    cand_ids = (
+        jnp.full((C + 1,), -1, jnp.int32).at[slot].set(jnp.arange(K, dtype=jnp.int32))[:C]
+    )
+    cid = jnp.maximum(cand_ids, 0)
+    c_ok = cand_ids >= 0
+
+    pt = m.kf_mp[cid]                               # [C,N]
+    has = (pt >= 0) & m.kf_kp_valid[cid]
+    close = has & (m.kf_depth[cid] > 0) & (m.kf_depth[cid] <= cam.th_depth)
     safe_pt = jnp.maximum(pt, 0)
-    # count, per point, observers at octave <= level+1 (other KFs)
-    # obs octaves: gather each observation's octave
     obs_kf = m.pt_obs_kf                            # [P,O]
     obs_kp = m.pt_obs_kp
     obs_ok = obs_kf >= 0
-    obs_oct = m.kf_octave[jnp.maximum(obs_kf, 0), jnp.maximum(obs_kp, 0)]  # [P,O]
-
-    # for each (kf,kp) close slot: level threshold = own octave + 1
-    lvl = m.kf_octave + 1                           # [K,N]
-    # count observers of pt with octave <= lvl excluding kf itself
-    oct_b = obs_oct[safe_pt]                        # [K,N,O]
+    # per-candidate observer octaves: gather [C,N,O]
+    oct_b = m.kf_octave[
+        jnp.maximum(obs_kf[safe_pt], 0), jnp.maximum(obs_kp[safe_pt], 0)
+    ]                                               # [C,N,O]
     kf_b = obs_kf[safe_pt]
+    lvl = m.kf_octave[cid] + 1                      # [C,N]
     cnt = jnp.sum(
-        (obs_ok[safe_pt] & (oct_b <= lvl[:, :, None]) & (kf_b != jnp.arange(K)[:, None, None])).astype(jnp.int32),
+        (
+            obs_ok[safe_pt]
+            & (oct_b <= lvl[:, :, None])
+            & (kf_b != cid[:, None, None])
+        ).astype(jnp.int32),
         axis=-1,
-    )  # [K,N]
+    )  # [C,N]
     well_obs = close & (m.pt_obs_cnt[safe_pt] > min_obs) & (cnt >= min_obs)
 
     mp_cnt = jnp.sum(close.astype(jnp.int32), axis=1)
     re_obs = jnp.sum(well_obs.astype(jnp.int32), axis=1)
-    cull = connected & (re_obs.astype(jnp.float32) > 0.9 * mp_cnt.astype(jnp.float32)) & (mp_cnt > 0)
+    cull_c = c_ok & (re_obs.astype(jnp.float32) > 0.9 * mp_cnt.astype(jnp.float32)) & (mp_cnt > 0)
+    cull = jnp.zeros((K,), bool).at[jnp.where(cull_c, cid, K - 1)].max(cull_c)
+    cull &= connected
 
     # ---- erase culled keyframes -------------------------------------------
     # remove their observations from points

@@ -136,6 +136,9 @@ def insert_keyframe(
     return m, kf_id
 
 
+MAX_REFRESH = 2048  # touched points per refresh call (a KF touches <= ~1k)
+
+
 def refresh_points(m: MapState, mask: jnp.ndarray, scale_factors: jnp.ndarray) -> MapState:
     """updateNormalAndDepth + computeDescriptor for masked points.
 
@@ -143,36 +146,55 @@ def refresh_points(m: MapState, mask: jnp.ndarray, scale_factors: jnp.ndarray) -
     (mappoint.cpp:86-116); distances from the ref-KF observation; the
     representative descriptor minimizes the median Hamming distance to the
     other observations (mappoint.cpp:118-179).
+
+    Works on a compacted subset (<= MAX_REFRESH masked points): the gathers
+    over [points, O] observer data dominate the mapping-chain profile when
+    run over the whole point table.
     """
     P, O = m.pt_obs_kf.shape
-    obs_kf = m.pt_obs_kf            # [P,O]
+    sel_mask = mask & m.pt_valid
+    pos = jnp.cumsum(sel_mask.astype(jnp.int32)) - 1
+    slot = jnp.where(sel_mask & (pos < MAX_REFRESH), pos, MAX_REFRESH)
+    ids = (
+        jnp.full((MAX_REFRESH + 1,), P - 1, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(P, dtype=jnp.int32))[:MAX_REFRESH]
+    )
+    live = (
+        jnp.zeros((MAX_REFRESH + 1,), bool).at[slot].set(sel_mask)[:MAX_REFRESH]
+    )
+
+    obs_kf = m.pt_obs_kf[ids]       # [S,O]
+    obs_kp = m.pt_obs_kp[ids]
+    pt_pos = m.pt_pos[ids]
+    pt_ref = m.pt_ref_kf[ids]
     obs_valid = obs_kf >= 0
     safe_kf = jnp.maximum(obs_kf, 0)
     # camera centers of observers
-    poses = m.kf_pose[safe_kf]      # [P,O,4,4]
+    poses = m.kf_pose[safe_kf]      # [S,O,4,4]
     Rt = jnp.swapaxes(poses[..., :3, :3], -1, -2)
     centers = -jnp.einsum("poij,poj->poi", Rt, poses[..., :3, 3])
-    rays = m.pt_pos[:, None, :] - centers
+    rays = pt_pos[:, None, :] - centers
     ray_norm = jnp.maximum(jnp.linalg.norm(rays, axis=-1), 1e-9)
     unit = rays / ray_norm[..., None]
     cnt = jnp.maximum(jnp.sum(obs_valid.astype(jnp.float32), axis=1), 1.0)
     normal = jnp.sum(jnp.where(obs_valid[..., None], unit, 0.0), axis=1) / cnt[:, None]
 
     # ref-KF distance + octave -> scale band
-    is_ref = obs_kf == m.pt_ref_kf[:, None]
+    is_ref = obs_kf == pt_ref[:, None]
     ref_slot = jnp.argmax(is_ref, axis=1)
     has_ref = jnp.any(is_ref, axis=1)
     ref_dist = jnp.take_along_axis(ray_norm, ref_slot[:, None], axis=1)[:, 0]
-    ref_kp = jnp.take_along_axis(m.pt_obs_kp, ref_slot[:, None], axis=1)[:, 0]
-    ref_oct = m.kf_octave[jnp.maximum(m.pt_ref_kf, 0), jnp.maximum(ref_kp, 0)]
+    ref_kp = jnp.take_along_axis(obs_kp, ref_slot[:, None], axis=1)[:, 0]
+    ref_oct = m.kf_octave[jnp.maximum(pt_ref, 0), jnp.maximum(ref_kp, 0)]
     max_d = ref_dist * scale_factors[ref_oct]
     min_d = max_d / scale_factors[-1]
 
     # representative descriptor: min median pairwise distance
-    descs = m.kf_desc[safe_kf, jnp.maximum(m.pt_obs_kp, 0)]  # [P,O,8]
+    descs = m.kf_desc[safe_kf, jnp.maximum(obs_kp, 0)]  # [S,O,8]
     D = jnp.sum(
         hamming.popcount_u32(descs[:, :, None, :] ^ descs[:, None, :, :]), axis=-1
-    )  # [P,O,O]
+    )  # [S,O,O]
     pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :]
     D = jnp.where(pair_ok, D, 1 << 14)
     Ds = jnp.sort(D, axis=-1)  # invalid large values sort to the end
@@ -183,10 +205,12 @@ def refresh_points(m: MapState, mask: jnp.ndarray, scale_factors: jnp.ndarray) -
     best_row = jnp.argmin(med, axis=1)
     best_desc = jnp.take_along_axis(descs, best_row[:, None, None].repeat(8, 2), axis=1)[:, 0, :]
 
-    upd = mask & m.pt_valid & (n_obs > 0)
+    upd = live & (n_obs > 0)
+    rows = jnp.where(upd, ids, P - 1)
+    keepv = lambda new, old: jnp.where(upd[:, None] if new.ndim > 1 else upd, new, old)
     return m.replace(
-        pt_normal=jnp.where(upd[:, None], normal, m.pt_normal),
-        pt_max_dist=jnp.where(upd & has_ref, max_d, m.pt_max_dist),
-        pt_min_dist=jnp.where(upd & has_ref, min_d, m.pt_min_dist),
-        pt_desc=jnp.where(upd[:, None], best_desc, m.pt_desc),
+        pt_normal=m.pt_normal.at[rows].set(keepv(normal, m.pt_normal[rows])),
+        pt_max_dist=m.pt_max_dist.at[rows].set(jnp.where(upd & has_ref, max_d, m.pt_max_dist[rows])),
+        pt_min_dist=m.pt_min_dist.at[rows].set(jnp.where(upd & has_ref, min_d, m.pt_min_dist[rows])),
+        pt_desc=m.pt_desc.at[rows].set(keepv(best_desc, m.pt_desc[rows])),
     )

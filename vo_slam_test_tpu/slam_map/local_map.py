@@ -24,15 +24,28 @@ MAX_LOCAL_PTS = 4096
 TH_HIGH = 100
 
 
-def local_keyframe_mask(m: MapState, curr_member: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """curr_member: [P] bool of map points matched in the current frame.
+def local_keyframe_mask(m: MapState, assign: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """assign: [N] i32 map-point id matched per current-frame keypoint (-1).
 
     Returns (local_kf_mask [K] bool, ref_kf i32) — seed KFs observing any
     matched point, each seed's best covisible neighbor, spanning parent, and
     one child (visualOdometry.cpp:598-693; the reference's first-unvisited
     iteration order is approximated by argmax selections).
+
+    The per-KF shared-point counts come from the matched points' observer
+    lists (the reference's keyframe_counter loop, :598-612) — a [N,O]
+    gather instead of scanning the whole [K,N] binding table.
     """
-    counts = covis_row_for(m, curr_member)  # [K] shared with curr frame
+    K = m.kf_valid.shape[0]
+    has = assign >= 0
+    obs = m.pt_obs_kf[jnp.maximum(assign, 0)]          # [N,O]
+    ok = has[:, None] & (obs >= 0)
+    counts = (
+        jnp.zeros((K + 1,), jnp.int32)
+        .at[jnp.where(ok, obs, K).reshape(-1)]
+        .add(ok.reshape(-1).astype(jnp.int32))[:K]
+    )
+    counts = counts * m.kf_valid.astype(jnp.int32)
     seeds = counts > 0
     ref_kf = jnp.argmax(counts).astype(jnp.int32)
 
@@ -42,30 +55,39 @@ def local_keyframe_mask(m: MapState, curr_member: jnp.ndarray) -> Tuple[jnp.ndar
     # best covisible neighbor of each seed
     best_nb = jnp.argmax(covis, axis=1)
     nb_ok = jnp.take_along_axis(covis, best_nb[:, None], axis=1)[:, 0] > 0
-    nb_mask = jnp.zeros((K,), bool).at[jnp.where(seeds & nb_ok, best_nb, K - 1)].set(seeds & nb_ok)
+    nb_mask = jnp.zeros((K,), bool).at[jnp.where(seeds & nb_ok, best_nb, K - 1)].max(seeds & nb_ok)
     # parent of each seed
     par = m.parent
     par_ok = seeds & (par >= 0)
-    par_mask = jnp.zeros((K,), bool).at[jnp.where(par_ok, par, K - 1)].set(par_ok)
+    par_mask = jnp.zeros((K,), bool).at[jnp.where(par_ok, par, K - 1)].max(par_ok)
     # one child of each seed (lowest id whose parent is the seed)
     kf_ids = jnp.arange(K, dtype=jnp.int32)
     child_of = jnp.where((par >= 0) & valid, par, -1)
     is_child = (child_of[None, :] == kf_ids[:, None]) & seeds[:, None]  # [K seeds, K kids]
     first_child = jnp.argmax(is_child, axis=1)
     has_child = jnp.any(is_child, axis=1)
-    ch_mask = jnp.zeros((K,), bool).at[jnp.where(has_child, first_child, K - 1)].set(has_child)
+    ch_mask = jnp.zeros((K,), bool).at[jnp.where(has_child, first_child, K - 1)].max(has_child)
 
     local = (seeds | nb_mask | par_mask | ch_mask) & valid
     return local, ref_kf
 
 
 def local_point_mask(m: MapState, local_kf: jnp.ndarray) -> jnp.ndarray:
-    """[P] bool: points observed by any local keyframe."""
+    """[P] bool: points observed by any local keyframe.
+
+    Row-gathers the bindings of <= 96 compacted local keyframes (the
+    reference caps the local window at 80, visualOdometry.cpp:643) instead
+    of scanning the whole [K,N] table.
+    """
     P = m.pt_valid.shape[0]
-    rows = local_kf[:, None] & (m.kf_mp >= 0)  # [K,N]
-    flat_pt = jnp.where(rows, m.kf_mp, P - 1).reshape(-1)
-    flat_on = rows.reshape(-1)
-    mask = jnp.zeros((P,), bool).at[flat_pt].max(flat_on)
+    K = m.kf_valid.shape[0]
+    C = min(96, K)
+    pos = jnp.cumsum(local_kf.astype(jnp.int32)) - 1
+    slot = jnp.where(local_kf & (pos < C), pos, C)
+    ids = jnp.full((C + 1,), -1, jnp.int32).at[slot].set(jnp.arange(K, dtype=jnp.int32))[:C]
+    rows = m.kf_mp[jnp.maximum(ids, 0)]            # [C,N] row gather
+    on = (ids >= 0)[:, None] & (rows >= 0)
+    mask = jnp.zeros((P,), bool).at[jnp.where(on, rows, P - 1).reshape(-1)].max(on.reshape(-1))
     return mask & m.pt_valid
 
 

@@ -269,7 +269,15 @@ def _lm_pass(
         poses_new = jnp.concatenate([new_win, poses[Wp:]], axis=0)
         points_new = points + dx_pt
 
-        c_old = cost_of(poses, points)
+        # old cost from the residuals already in hand
+        s2_old = jnp.sum(ew * ew, -1)
+        if use_huber:
+            delta_o = jnp.where(stereo, d_stereo, d_mono)
+            so = jnp.sqrt(s2_old + 1e-12)
+            rho_old = jnp.where(so <= delta_o, s2_old, 2 * delta_o * so - delta_o * delta_o)
+        else:
+            rho_old = s2_old
+        c_old = jnp.sum(jnp.where(active, rho_old, 0.0))
         c_new = cost_of(poses_new, points_new)
         improved = c_new < c_old
         poses = jnp.where(improved, poses_new, poses)

@@ -127,7 +127,16 @@ def _solve_round(
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=H.dtype)
         step = -jnp.linalg.solve(Hd, g)
         T_new = lie.se3_exp(step) @ T
-        c_old = cost_of(T)
+        # old cost from the residuals already in hand (avoids a second
+        # residual pass per iteration; the LM loop is latency-bound)
+        s2_old = jnp.sum(ew * ew, axis=-1)
+        if use_huber:
+            delta = jnp.where(stereo, delta_stereo, delta_mono)
+            s_old = jnp.sqrt(s2_old + 1e-12)
+            rho_old = jnp.where(s_old <= delta, s2_old, 2.0 * delta * s_old - delta * delta)
+        else:
+            rho_old = s2_old
+        c_old = jnp.sum(jnp.where(active, rho_old, 0.0))
         c_new = cost_of(T_new)
         improved = c_new < c_old
         T = jnp.where(improved, T_new, T)
@@ -145,6 +154,48 @@ def _solve_round(
     return T
 
 
+def _solve_round_gn(
+    T0: jnp.ndarray,
+    obs: PoseObs,
+    active: jnp.ndarray,
+    fx, fy, cx, cy, bf,
+    use_huber: bool,
+    iters: int,
+) -> jnp.ndarray:
+    """Fixed-iteration damped Gauss-Newton round (the tracking fast path).
+
+    The accept/reject LM machinery doubles the kernel count per iteration;
+    with the motion-model / previous-round initialization the tracking
+    solves sit well inside the convergence basin, so a short fixed GN with
+    constant damping reaches the same fixed point. The chi2 classification
+    after each round still rejects any residual misfits.
+    """
+    inv_sigma = jnp.sqrt(obs.inv_sigma2)
+    delta_mono = jnp.sqrt(CHI2_MONO)
+    delta_stereo = jnp.sqrt(CHI2_STEREO)
+
+    def body(_, T):
+        e, J, stereo = _residuals_jac(T, obs, fx, fy, cx, cy, bf)
+        ew = e * inv_sigma[:, None]
+        if use_huber:
+            nrm = jnp.sqrt(jnp.sum(ew * ew, axis=-1) + 1e-12)
+            delta = jnp.where(stereo, delta_stereo, delta_mono)
+            w = jnp.minimum(1.0, delta / nrm)
+        else:
+            w = jnp.ones(e.shape[0], e.dtype)
+        Jw = J * inv_sigma[:, None, None]
+        m = active.astype(e.dtype) * w
+        H = jnp.einsum("nri,nrj,n->ij", Jw, Jw, m)
+        g = jnp.einsum("nri,nr,n->i", Jw, ew, m)
+        Hd = H + 1e-4 * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+        step = -jnp.linalg.solve(Hd, g)
+        # guard: a wild step (degenerate geometry) keeps the old pose
+        ok = jnp.all(jnp.isfinite(step)) & (jnp.max(jnp.abs(step)) < 1.0)
+        return jnp.where(ok, lie.se3_exp(step) @ T, T)
+
+    return jax.lax.fori_loop(0, iters, body, T0)
+
+
 def _classify(T, obs: PoseObs, fx, fy, cx, cy, bf) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """chi2 inlier classification (optimizer_ceres.cpp:259-304)."""
     e, _, stereo = _residuals_jac(T, obs, fx, fy, cx, cy, bf)
@@ -156,26 +207,35 @@ def _classify(T, obs: PoseObs, fx, fy, cx, cy, bf) -> Tuple[jnp.ndarray, jnp.nda
     return inlier, jnp.sum(inlier.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "fast"))
 def solve_pose_only(
     T_init: jnp.ndarray,
     obs: PoseObs,
     fx, fy, cx, cy, bf,
     max_iters: int = 10,
+    fast: bool = False,
 ):
     """Two-round robust pose-only solve.
 
     Returns (T, inlier_mask [N] bool, inlier_count i32). Matches the
     reference's control flow; the final pose is always written (the
     reference sets the pose even on failure and lets the caller gate on the
-    inlier count, optimizer_ceres.cpp:311).
+    inlier count, optimizer_ceres.cpp:311). ``fast=True`` swaps the LM
+    rounds for fixed-iteration damped Gauss-Newton (see _solve_round_gn).
     """
+    if fast:
+        def rnd(T0, act, huber):
+            return _solve_round_gn(T0, obs, act, fx, fy, cx, cy, bf, huber, 4)
+    else:
+        def rnd(T0, act, huber):
+            return _solve_round(T0, obs, act, fx, fy, cx, cy, bf, huber, max_iters)
+
     active0 = obs.valid
-    T1 = _solve_round(T_init, obs, active0, fx, fy, cx, cy, bf, use_huber=True, max_iters=max_iters)
+    T1 = rnd(T_init, active0, True)
     inlier1, n1 = _classify(T1, obs, fx, fy, cx, cy, bf)
 
     def round2(_):
-        T2 = _solve_round(T_init, obs, inlier1, fx, fy, cx, cy, bf, use_huber=False, max_iters=max_iters)
+        T2 = rnd(T_init, inlier1, False)
         inlier2, n2 = _classify(T2, obs, fx, fy, cx, cy, bf)
         return T2, inlier2, n2
 
