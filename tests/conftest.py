@@ -15,6 +15,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the persistent compilation cache is shared with TPU runs whose CPU AOT
+# artifacts are produced by the remote compile service for a DIFFERENT
+# machine type — loading them here gives silently wrong numerics
+# (cpu_aot_loader machine-feature mismatch). Tests always compile fresh.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest

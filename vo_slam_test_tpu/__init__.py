@@ -32,7 +32,11 @@ if _os.environ.get("VO_SLAM_TPU_NO_PRECISION_OVERRIDE", "0") != "1":
 
 # The per-frame SLAM step is one large fused program; persist compiled
 # artifacts across processes so CLIs/benchmarks don't pay a multi-minute
-# compile on every launch.
+# compile on every launch. TPU-only: CPU AOT artifacts written by the
+# remote compile service target a different machine type and execute with
+# silently wrong numerics when loaded here (cpu_aot_loader feature
+# mismatch) — anything forcing jax_platforms=cpu must disable the cache
+# (tests/conftest.py does).
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     _cache = _os.path.expanduser("~/.cache/jax_vo_slam_tpu")
     _os.makedirs(_cache, exist_ok=True)
