@@ -37,6 +37,10 @@ def main(argv=None):
                     help="build a scene vocabulary from tracked keyframes and save it here (implies --slam)")
     ap.add_argument("--keyframe-out", default=None,
                     help="save the keyframe trajectory (TUM format) here (implies --slam)")
+    ap.add_argument("--map-out", default=None,
+                    help="render the final map (points + keyframes + graph edges) to this PNG (implies --slam)")
+    ap.add_argument("--metrics-out", default=None,
+                    help="write per-frame tracking metrics CSV here")
     args = ap.parse_args(argv)
 
     from .config import SlamConfig
@@ -58,7 +62,7 @@ def main(argv=None):
         cfg = SlamConfig.from_yaml(args.config)
         seq = TumDataset(cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num)
 
-    if args.vocabulary_out or args.keyframe_out:
+    if args.vocabulary_out or args.keyframe_out or args.map_out:
         args.slam = True
 
     if args.slam:
@@ -87,6 +91,11 @@ def main(argv=None):
         if args.vocabulary_out:
             tracker.create_vocabulary().save(args.vocabulary_out)
             print(f"scene vocabulary saved to {args.vocabulary_out}")
+        if args.map_out:
+            from .viz import plot_map, snapshot_map
+
+            plot_map(snapshot_map(tracker.map), args.map_out)
+            print(f"map render saved to {args.map_out}")
     elif args.sync:
         tracker = FrameToFrameTracker(cfg)
         times = []
@@ -125,6 +134,12 @@ def main(argv=None):
     print(f"tracked {n_ok}/{len(seq)} frames")
     write_trajectory_tum(args.camera_out, tracker.timestamps, trajectory)
     print(f"camera trajectory saved to {args.camera_out}")
+
+    if args.metrics_out:
+        from .viz import save_metrics_csv
+
+        save_metrics_csv(args.metrics_out, tracker.timestamps, stats)
+        print(f"metrics saved to {args.metrics_out}")
 
     if gt is not None:
         rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, trajectory)
