@@ -51,8 +51,15 @@ def _stage_b(
     depth_img: jnp.ndarray,
     cam: Camera,
 ) -> FrameFeatures:
-    ang = orientation.ic_angle(pyr.raw, level, ys, xs)
-    desc = brief.compute_descriptors(pyr.blur, level, ys, xs, ang)
+    if jax.default_backend() == "tpu" and ys.shape[0] % 8 == 0:
+        # fused Pallas orientation+descriptor kernel (bit-exact, ~4x the
+        # XLA gather formulation; see ops/orb_pallas.py)
+        from ..ops.orb_pallas import orb_angle_desc_pallas
+
+        ang, desc = orb_angle_desc_pallas(pyr.raw, pyr.blur, level, ys, xs)
+    else:
+        ang = orientation.ic_angle(pyr.raw, level, ys, xs)
+        desc = brief.compute_descriptors(pyr.blur, level, ys, xs, ang)
 
     scales = jnp.asarray(spec.scales)
     s = scales[level]

@@ -51,7 +51,14 @@ class PyramidSpec:
 
     @property
     def canvas_hw(self) -> Tuple[int, int]:
-        return (self.height + 2 * HALO, self.width + 2 * HALO)
+        # lane dim is padded so that 128-aligned patch DMAs of the fused
+        # orientation/descriptor kernel (ops/orb_pallas.py) stay in bounds
+        # for border keypoints: max aligned origin + patch width
+        h = self.height + 2 * HALO
+        w = self.width + 2 * HALO
+        max_x0a = ((self.width - 16) // 128) * 128
+        w = max(w, max_x0a + 256)
+        return (h, w)
 
     @functools.cached_property
     def scales(self) -> np.ndarray:
