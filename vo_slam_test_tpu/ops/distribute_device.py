@@ -40,15 +40,16 @@ def distribute_level(
     ys: jnp.ndarray,
     resp: jnp.ndarray,
     valid: jnp.ndarray,
-    bounds: Tuple[float, float, float, float],  # (min_x, max_x, min_y, max_y)
-    target: int,
+    bounds,            # (min_x, max_x, min_y, max_y), floats or traced
+    target,            # int or traced scalar
+    n_ini: int = 1,    # static root-cell count (round(w/h); 1 for 4:3)
 ) -> jnp.ndarray:
     """Returns a keep-mask [M] selecting <= target spatially distributed
-    candidates (best response per quad-tree node)."""
+    candidates (best response per quad-tree node). vmap-able over levels
+    when n_ini is shared (constant aspect ratio across a pyramid)."""
     min_x, max_x, min_y, max_y = bounds
     w = max_x - min_x
     h = max_y - min_y
-    n_ini = max(int(round(w / max(h, 1e-9))), 1)
     M = xs.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
     fx = (xs.astype(jnp.float32) - min_x) / w
