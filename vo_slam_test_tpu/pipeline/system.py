@@ -515,6 +515,7 @@ class SlamSystem:
         cfg: SlamConfig,
         caps: MapCaps = MapCaps(),
         vocabulary: Optional[bow_voc.Vocabulary] = None,
+        enable_global_ba: bool = False,
     ):
         self.cfg = cfg
         self.caps = caps
@@ -537,6 +538,10 @@ class SlamSystem:
         self.state = self._empty_state()
         self.loop_state = loop_closing.empty_loop_state(caps)
         self.enable_loop_closing = self.use_bow
+        # upstream ORB-SLAM2 runs a global BA after each accepted loop
+        # closure; the reference stops at the essential graph (SURVEY §2),
+        # so this stays opt-in for behavioral parity by default.
+        self.enable_global_ba = enable_global_ba
         self._pending_loop: List = []   # (frame_idx, cand_device_scalar, kf_id)
         self.loop_closures: List[int] = []
         self._outs: List[SlamOut] = []
@@ -604,6 +609,12 @@ class SlamSystem:
             )
             if bool(np.asarray(accepted)):
                 self.loop_closures.append(frame_idx)
+                if self.enable_global_ba:
+                    from ..solvers.global_ba import global_bundle_adjust
+
+                    self.map = global_bundle_adjust(
+                        self.map, self.caps, self.camera, jnp.asarray(0, jnp.int32)
+                    )
 
     def results(self):
         """Blocks; returns (trajectory T_w_c [F,4,4], stats, kf_traj)."""

@@ -33,6 +33,9 @@ def main(argv=None):
                     help="full SLAM (map + local BA) instead of frame-to-frame VO")
     ap.add_argument("--vocabulary", default=None,
                     help="vocabulary .npz for BoW relocalization / loop closing")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="run global bundle adjustment after accepted loop closures "
+                         "(upstream-ORB-SLAM2 behavior; the reference stops at the essential graph)")
     ap.add_argument("--vocabulary-out", default=None,
                     help="build a scene vocabulary from tracked keyframes and save it here (implies --slam)")
     ap.add_argument("--keyframe-out", default=None,
@@ -70,7 +73,7 @@ def main(argv=None):
         from .pipeline.system import SlamSystem
 
         voc = Vocabulary.load(args.vocabulary) if args.vocabulary else None
-        tracker = SlamSystem(cfg, vocabulary=voc)
+        tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba)
         t0 = time.perf_counter()
         for i in range(len(seq)):
             gray, depth, ts = seq[i]
