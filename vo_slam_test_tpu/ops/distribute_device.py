@@ -1,4 +1,4 @@
-"""On-device quad-tree keypoint distribution (fixed-shape).
+"""On-device quad-tree keypoint distribution (fixed-shape, scatter-free).
 
 TPU re-formulation of ORB-SLAM2's DistributeOctTree (reference:
 ORBextractor.cpp:545-769; host parity version: frontend/distribute.py).
@@ -9,28 +9,33 @@ so after round d the live nodes are exactly the occupied cells of a regular
 some earlier depth (those nodes stop splitting). Therefore the whole
 algorithm reduces to, per depth d:
 
-  count(d)[cell]  — occupancy histograms (segment sums)
-  singles<=d      — candidates whose cell count first dropped to 1
-  nodes_after(d)  = #cells with count>=2  +  #singles<=d
+  alone(d)[i]   — no other valid candidate shares i's cell
+  best(d)[i]    — no valid candidate in i's cell beats i (response, then id)
+  nodes_after(d) = #cells with >=2 candidates + #candidates alone at <=d
 
 stop at the first depth where nodes_after >= target (or nothing is
-splittable), then keep one best-response candidate per node. All of it is
-masked fixed-shape math — no lists, no host sync.
+splittable), then keep one best-response candidate per node.
+
+TPU shape: a candidate's depth-d cell key is its depth-MAX key with the low
+(MAX-d) bits of each coordinate dropped — floor(f*c*2^d) == floor(f*c*2^MAX)
+>> (MAX-d). So ONE pairwise XOR matrix Z[i,j] of the packed deepest-level
+keys answers same-cell at EVERY depth with a mask test ((Z & m_d) == 0),
+and the per-depth stats are row-reductions over [M,M] — wide, fusable, and
+entirely scatter/segment free (the earlier segment-sum formulation was ~7 ms
+of small serialized scatters per frame; a vmapped variant was slower still).
 
 Deviation from the reference (documented): the reference's finishing round
 splits only the densest nodes until *exactly* target nodes exist; we split
 the whole final depth and then cap to the target by response. Validated to
-give equivalent tracking accuracy on synthetic sequences.
+give equivalent tracking accuracy on synthetic sequences. Cell assignment
+derives from the depth-7 f32 product, which can differ from per-depth
+rounding by one cell for candidates within 1 ulp of a boundary.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 MAX_DEPTH = 7  # 4^7 cells >> any per-level target the reference uses
 
@@ -45,8 +50,7 @@ def distribute_level(
     n_ini: int = 1,    # static root-cell count (round(w/h); 1 for 4:3)
 ) -> jnp.ndarray:
     """Returns a keep-mask [M] selecting <= target spatially distributed
-    candidates (best response per quad-tree node). vmap-able over levels
-    when n_ini is shared (constant aspect ratio across a pyramid)."""
+    candidates (best response per quad-tree node)."""
     min_x, max_x, min_y, max_y = bounds
     w = max_x - min_x
     h = max_y - min_y
@@ -55,25 +59,40 @@ def distribute_level(
     fx = (xs.astype(jnp.float32) - min_x) / w
     fy = (ys.astype(jnp.float32) - min_y) / h
 
-    first_single = jnp.full((M,), MAX_DEPTH + 1, jnp.int32)
-    live = []          # per depth: #cells with count >= 2
-    cells_per_depth = []
-    counts_per_depth = []
+    ncx = n_ini << MAX_DEPTH
+    ncy = 1 << MAX_DEPTH
+    cx = jnp.clip((fx * ncx).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((fy * ncy).astype(jnp.int32), 0, ncy - 1)
+    # packed pairwise key difference: XOR acts per field (no carries)
+    Z = ((cy[:, None] ^ cy[None, :]) << 16) | (cx[:, None] ^ cx[None, :])
 
+    r = jnp.where(valid, resp, -jnp.inf)
+    # j dominates i: higher response, ties to the lower index (matches the
+    # segment_max + first-index selection of the reference formulation)
+    better = valid[None, :] & (
+        (r[None, :] > r[:, None])
+        | ((r[None, :] == r[:, None]) & (idx[None, :] < idx[:, None]))
+    )
+    other = valid[None, :] & (idx[None, :] != idx[:, None])
+
+    first_single = jnp.full((M,), MAX_DEPTH + 1, jnp.int32)
+    live = []
+    keep_rows = []
+    shared_rows = []
     for d in range(MAX_DEPTH + 1):
-        ncx = n_ini * (2**d)
-        ncy = 2**d
-        cx = jnp.clip((fx * ncx).astype(jnp.int32), 0, ncx - 1)
-        cy = jnp.clip((fy * ncy).astype(jnp.int32), 0, ncy - 1)
-        cell = cy * ncx + cx
-        n_cells = ncx * ncy
-        counts = jax.ops.segment_sum(valid.astype(jnp.int32), cell, num_segments=n_cells)
-        my_count = counts[cell]
-        newly_single = valid & (my_count == 1) & (first_single > d)
-        first_single = jnp.where(newly_single, d, first_single)
-        live.append(jnp.sum((counts >= 2).astype(jnp.int32)))
-        cells_per_depth.append(cell)
-        counts_per_depth.append(my_count)
+        s = MAX_DEPTH - d
+        hi = 0xFFFF & ~((1 << s) - 1)
+        m_py = (hi << 16) | hi          # mask covering both packed fields
+        m_d = jnp.int32(m_py - (1 << 32) if m_py >= (1 << 31) else m_py)
+        same = (Z & m_d) == 0
+        has_other = jnp.any(same & other, axis=1)   # cell count >= 2
+        dominated = jnp.any(same & better, axis=1)
+        best_here = valid & ~dominated
+        alone = valid & ~has_other
+        first_single = jnp.where(alone & (first_single > d), d, first_single)
+        live.append(jnp.sum((best_here & has_other).astype(jnp.int32)))
+        shared_rows.append(has_other)
+        keep_rows.append(best_here)
 
     live_v = jnp.stack(live)  # [D+1]
     singles_cum = jnp.stack(
@@ -85,22 +104,12 @@ def distribute_level(
     stop_d = jnp.argmax(reached).astype(jnp.int32)
     stop_d = jnp.where(jnp.any(reached), stop_d, MAX_DEPTH)
 
-    # per-depth "best in cell" selection, then pick the stop_d row
-    keep_rows = []
-    for d in range(MAX_DEPTH + 1):
-        cell = cells_per_depth[d]
-        n_cells = n_ini * (2**d) * (2**d)
-        r = jnp.where(valid, resp, -jnp.inf)
-        cell_max = jax.ops.segment_max(r, cell, num_segments=n_cells)
-        is_best_val = valid & (r == cell_max[cell])
-        first_best = jax.ops.segment_min(
-            jnp.where(is_best_val, idx, M), cell, num_segments=n_cells
-        )
-        best_here = is_best_val & (idx == first_best[cell])
-        own_node = valid & (first_single <= d)
-        multi = counts_per_depth[d] >= 2
-        keep_rows.append(own_node | (best_here & multi))
-    keep_by_depth = jnp.stack(keep_rows)  # [D+1, M]
+    keep_by_depth = jnp.stack(
+        [
+            (valid & (first_single <= d)) | (keep_rows[d] & shared_rows[d])
+            for d in range(MAX_DEPTH + 1)
+        ]
+    )  # [D+1, M]
     keep = keep_by_depth[stop_d]
 
     # cap to target by response (see module docstring)
