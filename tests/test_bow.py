@@ -114,3 +114,54 @@ class TestRetrieval:
         mask = np.asarray(retrieval.reloc_candidates(score, shared, covis, valid.astype(bool)))
         assert mask[3]
         assert mask.sum() <= 3
+
+
+class TestDbowText:
+    def test_text_roundtrip(self, voc, corpus, tmp_path):
+        p = str(tmp_path / "voc.txt")
+        V.save_dbow_text(voc, p)
+        voc2 = V.load_dbow_text(p)
+        q = jnp.asarray(corpus[:400])
+        ok = jnp.ones(400, bool)
+        w1 = np.asarray(V.transform(voc, q, ok))
+        w2 = np.asarray(V.transform(voc2, q, ok))
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_allclose(np.asarray(voc.idf), np.asarray(voc2.idf), rtol=1e-6)
+
+    def test_gz_roundtrip(self, voc, corpus, tmp_path):
+        p = str(tmp_path / "voc.txt.gz")
+        V.save_dbow_text(voc, p)
+        voc2 = V.load_dbow_text(p)
+        q = jnp.asarray(corpus[:100])
+        ok = jnp.ones(100, bool)
+        np.testing.assert_array_equal(
+            np.asarray(V.transform(voc, q, ok)), np.asarray(V.transform(voc2, q, ok))
+        )
+
+    def test_ragged_tree_shallow_leaf(self, tmp_path):
+        """A DBoW leaf above the final level must still become a word."""
+        # metrically consistent tree: cluster A near all-zeros, cluster B
+        # near all-ones, so greedy descent lands each centroid on itself
+        d = np.zeros((4, 32), np.int64)
+        d[1:] = 255
+        d[2, 0] = 254
+        d[3, 31] = 253
+        def line(par, leaf, desc, w):
+            return f"{par} {leaf} " + " ".join(str(int(b)) for b in desc) + f" {w}"
+        txt = "\n".join([
+            "2 2 0 0",
+            line(0, 1, d[0], 0.7),   # node 1: leaf at depth 1
+            line(0, 0, d[1], 0.0),   # node 2: interior
+            line(2, 1, d[2], 0.5),   # node 3: leaf at depth 2
+            line(2, 1, d[3], 0.3),   # node 4: leaf at depth 2
+        ])
+        p = tmp_path / "ragged.txt"
+        p.write_text(txt + "\n")
+        voc = V.load_dbow_text(str(p))
+        assert voc.k == 2 and voc.levels == 2
+        packed = d.astype(np.uint8).view("<u4").reshape(4, 8)
+        q = jnp.asarray(packed[[0, 2, 3]])  # the three leaves
+        words = np.asarray(V.transform(voc, q, jnp.ones(3, bool)))
+        assert len(set(words.tolist())) == 3  # nodes 1 (propagated), 3, 4
+        idf = np.asarray(voc.idf)
+        assert np.allclose([idf[w] for w in words], [0.7, 0.5, 0.3])

@@ -16,10 +16,12 @@ TPU-native design:
   style farthest seeding with a fixed PRNG), vectorized over all clusters of
   a level at once via segment ops.
 
-Storage format: .npz (centroids per level + idf weights). A DBoW3 binary is
-not loadable here (no DBoW3 on this machine); scene vocabularies are built
-with build_vocabulary — the capability the reference added over stock
-ORB-SLAM2.
+Storage formats: .npz (centroids per level + idf weights), plus the DBoW2/3
+text interchange format (ORBvoc.txt: header ``k L scoring weighting`` then
+one ``parent is_leaf b0..b31 weight`` line per node) via load_dbow_text /
+save_dbow_text — so a user's existing ORBvoc.txt drops in. Scene
+vocabularies are built with build_vocabulary — the capability the reference
+added over stock ORB-SLAM2 (map.cpp:60-99).
 """
 
 from __future__ import annotations
@@ -98,6 +100,137 @@ def feature_groups(voc: Vocabulary, words: jnp.ndarray, group_level: int = 3) ->
     reference matches within, frame.cpp:253 'levelsup' semantics)."""
     shift = voc.levels - group_level
     return jnp.where(words >= 0, words // (voc.k**shift), -1)
+
+
+# ---------------------------------------------------------------------------
+# DBoW2/3 text interchange (ORBvoc.txt)
+# ---------------------------------------------------------------------------
+
+
+def _open_text(path: str, mode: str = "rt"):
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def load_dbow_text(path: str) -> Vocabulary:
+    """Load a DBoW2/DBoW3 text vocabulary (ORBvoc.txt[.gz]).
+
+    Format: header ``k L scoring_type weighting_type``; then one line per
+    node (the root is node 0 and is implicit): ``parent_id is_leaf
+    byte0 .. byte31 weight``. Node i is line i+1; parents always precede
+    children. Descriptor bytes are the cv::Mat ORB layout (byte b bit j =
+    pattern pair 8b+j) — identical to our little-endian u32 packing.
+
+    DBoW3 trees may be ragged (a branch can end early when its cluster ran
+    dry); shallow leaves are propagated down a single-child chain so every
+    word lives at the final level, as our dense arrays require. Word ids are
+    therefore dense-tree positions, not DBoW3's sequential leaf numbering —
+    all internal retrieval uses our ids consistently.
+    """
+    with _open_text(path) as f:
+        header = f.readline().split()
+        k, levels, scoring, weighting = (int(header[0]), int(header[1]),
+                                         int(header[2]), int(header[3]))
+        if scoring != 0 or weighting != 0:
+            raise ValueError(
+                f"only L1 scoring / TF-IDF weighting supported (got {scoring},{weighting})"
+            )
+        table = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    n_nodes = table.shape[0]
+    parent = table[:, 0].astype(np.int64)
+    is_leaf = table[:, 1] != 0
+    desc = table[:, 2:34].astype(np.uint8).copy().view("<u4").reshape(n_nodes, 8)
+    weight = table[:, 34].astype(np.float32)
+
+    # node ids are 1-based in file order (root = 0, implicit)
+    node_parent = np.concatenate([[0], parent]).astype(np.int64)  # idx 0 = root
+    depth = np.full(n_nodes + 1, -1, np.int64)
+    depth[0] = 0
+    for _ in range(levels):
+        upd = (depth == -1) & (depth[node_parent] >= 0)
+        depth[upd] = depth[node_parent[upd]] + 1
+    if (depth[1:] == -1).any():
+        raise ValueError("vocabulary deeper than its declared level count")
+
+    # sibling rank: order of appearance among same-parent nodes
+    order = np.argsort(node_parent[1:], kind="stable")
+    ranks = np.empty(n_nodes, np.int64)
+    sorted_par = node_parent[1:][order]
+    new_grp = np.concatenate([[True], sorted_par[1:] != sorted_par[:-1]])
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n_nodes), 0))
+    ranks[order] = np.arange(n_nodes) - grp_start
+    if (ranks >= k).any():
+        raise ValueError("node with more than k children")
+
+    # dense position per node, level by level (parents precede children)
+    dense = np.zeros(n_nodes + 1, np.int64)
+    for d in range(1, levels + 1):
+        sel = depth[1:] == d
+        dense[1:][sel] = dense[node_parent[1:][sel]] * k + ranks[sel]
+
+    centroids = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(levels)]
+    valid = [np.zeros((k ** (l + 1),), bool) for l in range(levels)]
+    idf = np.zeros(k**levels, np.float32)
+    for d in range(1, levels + 1):
+        sel = depth[1:] == d
+        centroids[d - 1][dense[1:][sel]] = desc[sel]
+        valid[d - 1][dense[1:][sel]] = True
+
+    # leaves: words at the final level; shallow leaves chain down child 0
+    leaf_dense = dense[1:][is_leaf]
+    leaf_depth = depth[1:][is_leaf]
+    leaf_desc = desc[is_leaf]
+    leaf_w = weight[is_leaf]
+    for i in range(leaf_dense.shape[0]):
+        dpos, ddep = int(leaf_dense[i]), int(leaf_depth[i])
+        while ddep < levels:
+            dpos *= k
+            centroids[ddep][dpos] = leaf_desc[i]
+            valid[ddep][dpos] = True
+            ddep += 1
+        idf[dpos] = leaf_w[i]
+
+    return Vocabulary(
+        k=k, levels=levels,
+        centroids=[jnp.asarray(c) for c in centroids],
+        idf=jnp.asarray(idf),
+        node_valid=[jnp.asarray(v) for v in valid],
+    )
+
+
+def save_dbow_text(voc: Vocabulary, path: str) -> None:
+    """Write the DBoW2/3 text format (load_dbow_text's inverse; L1/TF-IDF)."""
+    k, levels = voc.k, voc.levels
+    cents = [np.asarray(c) for c in voc.centroids]
+    valid = [np.asarray(v) for v in voc.node_valid]
+    idf = np.asarray(voc.idf)
+    # file node ids: BFS over valid dense nodes
+    file_id = [np.full(v.shape[0], -1, np.int64) for v in valid]
+    next_id = 1
+    for l in range(levels):
+        ids = np.nonzero(valid[l])[0]
+        file_id[l][ids] = np.arange(next_id, next_id + ids.size)
+        next_id += ids.size
+    with _open_text(path, "wt") as f:
+        f.write(f"{k} {levels} 0 0\n")
+        for l in range(levels):
+            for dpos in np.nonzero(valid[l])[0]:
+                par = 0 if l == 0 else int(file_id[l - 1][dpos // k])
+                # leaf = a final-level node, or one with no valid children
+                if l == levels - 1:
+                    leaf, w = True, float(idf[dpos])
+                else:
+                    kids = valid[l + 1][dpos * k : dpos * k + k]
+                    leaf, w = not kids.any(), 0.0
+                by = np.ascontiguousarray(cents[l][dpos]).view(np.uint8)
+                f.write(
+                    f"{par} {1 if leaf else 0} "
+                    + " ".join(str(int(b)) for b in by)
+                    + f" {w}\n"
+                )
 
 
 # ---------------------------------------------------------------------------

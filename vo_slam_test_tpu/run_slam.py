@@ -69,10 +69,15 @@ def main(argv=None):
         args.slam = True
 
     if args.slam:
-        from .bow.vocabulary import Vocabulary
+        from .bow.vocabulary import Vocabulary, load_dbow_text
         from .pipeline.system import SlamSystem
 
-        voc = Vocabulary.load(args.vocabulary) if args.vocabulary else None
+        voc = None
+        if args.vocabulary:
+            if args.vocabulary.endswith((".txt", ".txt.gz")):
+                voc = load_dbow_text(args.vocabulary)  # DBoW2/3 ORBvoc.txt
+            else:
+                voc = Vocabulary.load(args.vocabulary)
         tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba)
         t0 = time.perf_counter()
         for i in range(len(seq)):
