@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from .. import lie
 from ..camera import Camera
 from ..slam_map.map_state import MapCaps, MapState
+from ..utils import linalg
 from .pose_only import CHI2_MONO, CHI2_STEREO
 
 
@@ -121,9 +122,7 @@ def global_bundle_adjust(
             w[:, None] * jnp.einsum("mri,mr->mi", Jl, e), o_pt, num_segments=P
         )
         lam = 1e-3
-        Hll_inv = jnp.linalg.inv(
-            Hll + (lam + 1e-7) * jnp.eye(3)[None]
-        )
+        Hll_inv = linalg.inv3x3(Hll + (lam + 1e-7) * jnp.eye(3)[None])
         Hpp_d = Hpp + lam * jnp.eye(6)[None]
 
         def schur_matvec(x):  # [K,6] -> [K,6]

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from .. import lie
 from ..camera import Camera
 from ..slam_map.map_state import MapCaps, MapState
+from ..utils import linalg
 from .pose_only import CHI2_MONO, CHI2_STEREO
 
 W_KF = 24       # optimized window keyframes
@@ -248,7 +249,7 @@ def _lm_pass(
         # damping
         lamI3 = lam * jnp.eye(3, dtype=e.dtype)
         Hll_d = Hll + lamI3[None] + 1e-8 * jnp.eye(3, dtype=e.dtype)[None]
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = linalg.inv3x3(Hll_d)  # closed form; LU batches crawl on TPU
         lamI6 = lam * jnp.eye(6, dtype=e.dtype)
         Hpp_d = Hpp + lamI6[None]
 
@@ -260,7 +261,9 @@ def _lm_pass(
         rhs = bp - jnp.einsum("kpil,pl->ki", WHinv, bl)             # [W,6]
 
         Sd = S.reshape(Wp * 6, Wp * 6) + 1e-7 * jnp.eye(Wp * 6, dtype=e.dtype)
-        dx_pose = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(Wp, 6)
+        # SPD after damping: Cholesky halves the cost of the LU path on TPU
+        chol = jnp.linalg.cholesky(Sd)
+        dx_pose = -jax.scipy.linalg.cho_solve((chol, True), rhs.reshape(-1)).reshape(Wp, 6)
         # back-substitute points: dx_l = -Hll^-1 (bl + W^T dx_p)
         Wt_dx = jnp.einsum("kpil,ki->pl", Wc, dx_pose)
         dx_pt = -jnp.einsum("pij,pj->pi", Hll_inv, bl + Wt_dx)
