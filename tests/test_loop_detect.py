@@ -1,4 +1,10 @@
-"""Loop detection: candidate cascade + 3-consecutive consistency groups."""
+"""Loop detection: candidate cascade + consistency-group tracking.
+
+Reference semantics (loopClosing.cpp:95-174): a candidate group that
+intersects no previous group is pushed with count 0; an intersecting one
+inherits prev_count + 1; confirmation requires count >= 3 — i.e. the
+FOURTH consecutive detection confirms.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -12,12 +18,11 @@ CAPS = MapCaps(max_kf=16, max_pt=512, max_obs=8, n_feat=64)
 
 
 def make_map_with_loop():
-    """KFs 0..11; 0-2 and 9-11 see the same 'place' (shared words); the two
+    """KFs 0..12; 0-2 and 9-12 see the same 'place' (shared words); the two
     clusters are not covisible with each other."""
     rng = np.random.default_rng(0)
     m = empty_map(CAPS)
     N = CAPS.n_feat
-    idf = jnp.ones((4096,))
 
     kf_bow_word = np.full((CAPS.max_kf, N), 1 << 30, np.int64)
     kf_bow_weight = np.zeros((CAPS.max_kf, N), np.float32)
@@ -25,7 +30,7 @@ def make_map_with_loop():
     valid = np.zeros(CAPS.max_kf, bool)
 
     place_words = np.sort(rng.choice(4096, 40, replace=False))
-    for k in range(12):
+    for k in range(13):
         valid[k] = True
         if k <= 2 or k >= 9:
             words = place_words.copy()
@@ -33,38 +38,38 @@ def make_map_with_loop():
             words = np.sort(rng.choice(4096, 40, replace=False))
         kf_bow_word[k, :40] = words
         kf_bow_weight[k, :40] = 1.0 / 40
-    for group in [(0, 1, 2), (3, 4, 5, 6, 7, 8), (9, 10, 11)]:
+    for group in [(0, 1, 2), (3, 4, 5, 6, 7, 8), (9, 10, 11, 12)]:
         for a in group:
             for b in group:
                 if a != b:
                     covis[a, b] = 50
-    # chain adjacency so mid KFs connect the clusters weakly... keep clusters
-    # strictly separate for the test (loop_candidates excludes connected)
 
     m = m.replace(
         kf_bow_word=jnp.asarray(kf_bow_word.astype(np.int32)),
         kf_bow_weight=jnp.asarray(kf_bow_weight),
         covis=jnp.asarray(covis),
         kf_valid=jnp.asarray(valid),
-        n_kf=jnp.asarray(12, jnp.int32),
+        n_kf=jnp.asarray(13, jnp.int32),
     )
     return m
 
 
 class TestLoopDetect:
-    def test_three_consecutive_detections_confirm(self):
+    def test_fourth_consecutive_detection_confirms(self):
         m = make_map_with_loop()
         ls = LC.empty_loop_state(CAPS)
         results = []
-        for kf in [9, 10, 11]:
+        for kf in [9, 10, 11, 12]:
             ls, cand = LC.detect_step(
                 m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
             )
             results.append(int(cand))
-        # first two detections accumulate consistency; third confirms
+        # counts 0, 1, 2 accumulate; the fourth detection reaches 3 (the
+        # reference pushes the first group with count 0, loopClosing.cpp:160)
         assert results[0] == -1
         assert results[1] == -1
-        assert results[2] in (0, 1, 2), results
+        assert results[2] == -1
+        assert results[3] in (0, 1, 2), results
 
     def test_no_keyframe_noop(self):
         m = make_map_with_loop()
@@ -78,13 +83,73 @@ class TestLoopDetect:
     def test_connected_candidates_excluded(self):
         """A KF covisible with the query must never be a loop candidate."""
         m = make_map_with_loop()
-        # connect query 11 to the early cluster -> exclusion
         covis = np.array(m.covis)
-        covis[11, 0] = covis[0, 11] = 30
-        covis[11, 1] = covis[1, 11] = 30
-        covis[11, 2] = covis[2, 11] = 30
+        for q in (9, 10, 11, 12):
+            for c in (0, 1, 2):
+                covis[q, c] = covis[c, q] = 30
         m = m.replace(covis=jnp.asarray(covis))
         ls = LC.empty_loop_state(CAPS)
-        for kf in [9, 10, 11]:
+        for kf in [9, 10, 11, 12]:
             ls, cand = LC.detect_step(m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS)
         assert int(cand) == -1
+
+    def test_alternating_groups_both_accumulate(self):
+        """Two disjoint candidate neighborhoods present in every round must
+        accumulate consistency independently (the reference tracks a VECTOR
+        of groups, loopClosing.cpp:95-174) — a single rolling slot would
+        reset one with the other."""
+        rng = np.random.default_rng(1)
+        m = empty_map(CAPS)
+        N = CAPS.n_feat
+        kf_bow_word = np.full((CAPS.max_kf, N), 1 << 30, np.int64)
+        kf_bow_weight = np.zeros((CAPS.max_kf, N), np.float32)
+        covis = np.zeros((CAPS.max_kf, CAPS.max_kf), np.int32)
+        valid = np.zeros(CAPS.max_kf, bool)
+
+        words_a = np.sort(rng.choice(2048, 40, replace=False))
+        words_b = np.sort(rng.choice(np.arange(2048, 4096), 40, replace=False))
+        both = np.sort(np.concatenate([words_a[:20], words_b[:20]]))
+        # clusters A = 0-2, B = 3-5 are two distinct places; the query
+        # cluster 9-12 shares words with BOTH, so both clusters come back as
+        # candidates on every detection round.
+        for k in range(13):
+            valid[k] = True
+            if k <= 2:
+                words = words_a
+            elif k <= 5:
+                words = words_b
+            elif k >= 9:
+                words = both
+            else:
+                words = np.sort(rng.choice(8192, 40, replace=False) + 8192)
+            kf_bow_word[k, :40] = words
+            kf_bow_weight[k, :40] = 1.0 / 40
+        for group in [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11, 12)]:
+            for a in group:
+                for b in group:
+                    if a != b:
+                        covis[a, b] = 50
+        # a weakly-covisible dissimilar neighbor drags the query's
+        # min-covis-score gate down (the reference's minScore is the lowest
+        # score among covisibles, loopClosing.cpp:68-83)
+        for q in (9, 10, 11, 12):
+            covis[q, 6] = covis[6, q] = 20
+        m = m.replace(
+            kf_bow_word=jnp.asarray(kf_bow_word.astype(np.int32)),
+            kf_bow_weight=jnp.asarray(kf_bow_weight),
+            covis=jnp.asarray(covis),
+            kf_valid=jnp.asarray(valid),
+            n_kf=jnp.asarray(13, jnp.int32),
+        )
+        ls = LC.empty_loop_state(CAPS)
+        results = []
+        for kf in [9, 10, 11, 12]:
+            ls, cand = LC.detect_step(
+                m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
+            )
+            results.append(int(cand))
+        counts = np.asarray(ls.counts)
+        # after the final round both surviving candidate groups carry the
+        # full consistency count
+        assert (counts >= 3).sum() >= 2, counts
+        assert results[3] in (0, 1, 2, 3, 4, 5), results

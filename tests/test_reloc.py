@@ -70,6 +70,92 @@ class TestRelocalization:
         rel = np.linalg.norm(est[:3, 3] - est_ref[:3, 3])
         assert rel < 0.05, (terr, rel)
 
+    def test_kidnap_recovery_depth_poor(self, scene_voc):
+        """Return frames carry NO depth: the EPnP 2D-3D branch
+        (visualOdometry.cpp:806-826 role) must recover where Horn 3D-3D
+        cannot."""
+        seq = SyntheticRGBD(n_frames=12, seed=31, motion_scale=0.3)
+        cfg = make_cfg(seq)
+        sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=32, max_pt=8192), vocabulary=scene_voc)
+        for i in range(8):
+            g, d, ts = seq[i]
+            sys_.track(g, d, ts)
+        black_g = np.zeros((480, 640), np.uint8)
+        black_d = np.zeros((480, 640), np.float32)
+        for j in range(3):
+            sys_.track(black_g, black_d, 8.0 + j)
+        zero_d = np.zeros((480, 640), np.float32)
+        for i in range(2, 6):
+            g, _, ts = seq[i]
+            sys_.track(g, zero_d, 20.0 + i)
+
+        traj, stats, _ = sys_.results()
+        oks = [s.ok for s in stats]
+        assert any(oks[11:]), oks[11:]
+        reloc = sys_.reloc_frames
+        assert len(reloc) >= 1 and reloc[0] >= 11, reloc
+        first_ok = 11 + oks[11:].index(True)
+        src = first_ok - 11 + 2
+        est = traj[first_ok]
+        est_ref = traj[src]
+        rel = np.linalg.norm(est[:3, 3] - est_ref[:3, 3])
+        assert rel < 0.05, rel
+
+    def test_kidnap_recovery_decoy_best_candidate(self, scene_voc):
+        """A decoy keyframe carries the query's exact BoW vector (so it
+        ranks FIRST) but garbage descriptors and no map points, so it can
+        never pass the >=15 BoW-match gate. Multi-candidate relocalization
+        (visualOdometry.cpp:313-395 iterates ALL candidates) must still
+        recover through the genuine keyframe in the same frame."""
+        import jax.numpy as jnp
+
+        from vo_slam_test_tpu.bow import retrieval as bow_ret
+        from vo_slam_test_tpu.bow import vocabulary as bow_voc
+
+        seq = SyntheticRGBD(n_frames=12, seed=31, motion_scale=0.3)
+        cfg = make_cfg(seq)
+        sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=32, max_pt=8192), vocabulary=scene_voc)
+        for i in range(8):
+            g, d, ts = seq[i]
+            sys_.track(g, d, ts)
+        black_g = np.zeros((480, 640), np.uint8)
+        black_d = np.zeros((480, 640), np.float32)
+        for j in range(3):
+            sys_.track(black_g, black_d, 8.0 + j)
+
+        # build the decoy from the first return frame's BoW vector
+        ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
+        g2, d2, _ = seq[2]
+        f2 = ext(g2, d2)
+        words = bow_voc.transform(scene_voc, f2.desc, f2.valid)
+        uniq, wgt = bow_ret.bow_vector(words, scene_voc.idf)
+
+        m = sys_.map
+        slot = int(np.asarray(m.n_kf))  # unused row
+        rng = np.random.default_rng(5)
+        decoy_desc = jnp.asarray(
+            rng.integers(0, 2**32, size=(m.kf_desc.shape[1], 8), dtype=np.uint32)
+        )
+        sys_.map = m.replace(
+            kf_valid=m.kf_valid.at[slot].set(True),
+            kf_bow_word=m.kf_bow_word.at[slot].set(uniq),
+            kf_bow_weight=m.kf_bow_weight.at[slot].set(wgt),
+            kf_desc=m.kf_desc.at[slot].set(decoy_desc),
+            kf_kp_valid=m.kf_kp_valid.at[slot].set(True),
+        )
+
+        for i in range(2, 6):
+            g, d, ts = seq[i]
+            sys_.track(g, d, 20.0 + i)
+
+        traj, stats, _ = sys_.results()
+        oks = [s.ok for s in stats]
+        assert any(oks[11:]), oks[11:]
+        reloc = sys_.reloc_frames
+        # recovery in the SAME frame as the decoy-free kidnap test: the
+        # decoy outranks the true keyframe but cannot block it
+        assert len(reloc) >= 1 and reloc[0] == 11, reloc
+
     def test_no_bow_system_never_relocalizes(self):
         seq = SyntheticRGBD(n_frames=4, seed=33, motion_scale=0.3)
         sys_ = SlamSystem(make_cfg(seq), caps=MapCaps(max_kf=16, max_pt=4096))

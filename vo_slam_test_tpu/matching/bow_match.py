@@ -28,6 +28,7 @@ BIG = jnp.int32(1 << 20)
 class BowMatchResult(NamedTuple):
     assign: jnp.ndarray   # [N_frame] i32 map-point id (-1 none)
     count: jnp.ndarray    # i32
+    src_kp: jnp.ndarray   # [N_frame] i32 matched keyframe keypoint (-1 none)
 
 
 @functools.partial(jax.jit, static_argnames=("check_rot",))
@@ -73,4 +74,8 @@ def search_by_bow_kf_frame(
         .max(jnp.where(matched, src_ids, -1))[:n_tgt]
     )
     assign = jnp.where(winner >= 0, kf_mp[jnp.maximum(winner, 0)], -1)
-    return BowMatchResult(assign=assign, count=jnp.sum(matched.astype(jnp.int32)))
+    return BowMatchResult(
+        assign=assign,
+        count=jnp.sum(matched.astype(jnp.int32)),
+        src_kp=winner,
+    )

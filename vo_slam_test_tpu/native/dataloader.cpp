@@ -123,19 +123,46 @@ struct Loader {
       f->failed = true;
       return;
     }
+    // the caller allocated width*height output buffers: any other decoded
+    // geometry must FAIL the frame, never overflow the copy in vio_next
+    if (rgb.width != width || rgb.height != height ||
+        depth.width != width || depth.height != height) {
+      f->failed = true;
+      return;
+    }
     f->width = rgb.width;
     f->height = rgb.height;
     f->gray.resize(rgb.width * rgb.height);
-    if (rgb.channels >= 3) {
+    const int pix = rgb.width * rgb.height;
+    if (rgb.bit_depth == 16) {
+      // 16-bit samples (after png_set_swap): take the high byte
+      const uint16_t* p16 = reinterpret_cast<const uint16_t*>(rgb.data.data());
+      if (rgb.channels >= 3) {
+        for (int i = 0; i < pix; ++i) {
+          const int r = p16[i * rgb.channels + 0] >> 8;
+          const int g = p16[i * rgb.channels + 1] >> 8;
+          const int b = p16[i * rgb.channels + 2] >> 8;
+          f->gray[i] = static_cast<uint8_t>(
+              (19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+        }
+      } else {
+        for (int i = 0; i < pix; ++i)
+          f->gray[i] = static_cast<uint8_t>(p16[i * rgb.channels] >> 8);
+      }
+    } else if (rgb.channels >= 3) {
       // BT.601 luma with cv::cvtColor's fixed-point rounding
       const uint8_t* p = rgb.data.data();
-      for (int i = 0; i < rgb.width * rgb.height; ++i) {
+      for (int i = 0; i < pix; ++i) {
         const int r = p[i * rgb.channels + 0];
         const int g = p[i * rgb.channels + 1];
         const int b = p[i * rgb.channels + 2];
         f->gray[i] =
             static_cast<uint8_t>((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
       }
+    } else if (rgb.channels == 2) {
+      // gray + alpha: take the luma plane
+      const uint8_t* p = rgb.data.data();
+      for (int i = 0; i < pix; ++i) f->gray[i] = p[i * 2];
     } else {
       std::memcpy(f->gray.data(), rgb.data.data(), f->gray.size());
     }
@@ -157,11 +184,14 @@ struct Loader {
 extern "C" {
 
 void* vio_open(const char** rgb_paths, const char** depth_paths, int n,
-               double depth_scale, int prefetch, int n_threads) {
+               double depth_scale, int prefetch, int n_threads, int width,
+               int height) {
   auto* L = new Loader();
   L->rgb_paths.assign(rgb_paths, rgb_paths + n);
   L->depth_paths.assign(depth_paths, depth_paths + n);
   L->depth_scale = depth_scale;
+  L->width = width > 0 ? width : 640;
+  L->height = height > 0 ? height : 480;
   L->capacity = prefetch > 0 ? prefetch : 8;
   L->slots.resize(L->capacity);
   int workers = n_threads > 0 ? n_threads : 4;

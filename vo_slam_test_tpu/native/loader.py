@@ -43,6 +43,7 @@ def _load():
     lib.vio_open.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.vio_next.restype = ctypes.c_int
     lib.vio_next.argtypes = [
@@ -87,7 +88,10 @@ class NativeTumLoader:
         self._n = len(rgb_paths)
         rgb_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in rgb_paths])
         dep_arr = (ctypes.c_char_p * self._n)(*[p.encode() for p in depth_paths])
-        self._handle = lib.vio_open(rgb_arr, dep_arr, self._n, depth_scale, prefetch, threads)
+        self._handle = lib.vio_open(
+            rgb_arr, dep_arr, self._n, depth_scale, prefetch, threads,
+            width, height,
+        )
         self._next = 0
 
     def __len__(self) -> int:

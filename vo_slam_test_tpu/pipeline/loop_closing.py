@@ -44,6 +44,7 @@ from ..slam_map.map_state import MapCaps, MapState
 from ..solvers import pose_graph, sim3
 
 MAX_GROUPS = 32
+MAX_CANDS = 8          # candidate groups tracked per detection round
 MIN_KF_GAP = 10        # >=10 KFs since last loop (loopClosing.cpp:62)
 CONSISTENCY = 3        # consecutive consistent detections (:149)
 
@@ -92,31 +93,53 @@ def detect_step(
             scores, shared, m_.covis, m_.kf_valid, kf, min_score
         )
 
-        # consistency groups (loopClosing.cpp:95-174): process the best
-        # candidate's group against previous groups
-        best_cand = jnp.argmax(jnp.where(cand_mask, scores, -1.0)).astype(jnp.int32)
-        has_cand = jnp.any(cand_mask)
-        cand_group = (
-            jnp.zeros((K,), bool).at[best_cand].set(has_cand)
-            | ((m_.covis[best_cand] > 0) & m_.kf_valid & has_cand)
-        )
-        inter = jnp.any(ls_.groups & cand_group[None, :], axis=1)  # [G]
-        prev_best = jnp.max(jnp.where(inter, ls_.counts, 0))
-        new_count = jnp.where(has_cand, prev_best + 1, 0)
-        confirmed = has_cand & (new_count >= CONSISTENCY)
-        gap_ok = kf >= ls_.last_loop_kf + MIN_KF_GAP
-        confirmed &= gap_ok
+        # consistency groups (loopClosing.cpp:95-174): every candidate's
+        # group (candidate + covisibles) is checked against ALL previous
+        # groups; a candidate inherits count = prev_count + 1 from any
+        # intersecting previous group (max if several intersect) and
+        # confirms at >= CONSISTENCY. All candidate groups — not just the
+        # best — become the next round's group list, so two alternating
+        # candidate neighborhoods accumulate counts independently.
+        # Deviation: the reference dedups pushed groups per previous group
+        # (vbConsistentGroup); we keep every candidate group with its max
+        # count, which only makes the next round's intersections a
+        # superset.
+        cand_scores = jnp.where(cand_mask, scores, -jnp.inf)
+        top_scores, top_ids = jax.lax.top_k(cand_scores, MAX_CANDS)
+        top_ok = jnp.isfinite(top_scores)
+        top_ids = top_ids.astype(jnp.int32)
 
-        # new state: single rolling group slot per detection round
-        slot = jnp.asarray(0, jnp.int32)
-        groups = jnp.zeros_like(ls_.groups).at[slot].set(cand_group)
-        counts = jnp.zeros_like(ls_.counts).at[slot].set(new_count)
+        # [C,K] candidate groups
+        self_row = jax.nn.one_hot(top_ids, K, dtype=bool)
+        cand_groups = (
+            self_row | ((m_.covis[top_ids] > 0) & m_.kf_valid[None, :])
+        ) & top_ok[:, None]
+        # [C,G] intersections with previous groups
+        inter = jnp.any(
+            cand_groups[:, None, :] & ls_.groups[None, :, :], axis=2
+        ) & (jnp.arange(MAX_GROUPS)[None, :] < ls_.n_groups)
+        prev_best = jnp.max(
+            jnp.where(inter, ls_.counts[None, :], -1), axis=1
+        )  # [C]; -1 when no intersection
+        new_counts = jnp.where(
+            top_ok, jnp.where(prev_best >= 0, prev_best + 1, 0), 0
+        ).astype(jnp.int32)
+        conf_mask = top_ok & (new_counts >= CONSISTENCY)
+        gap_ok = kf >= ls_.last_loop_kf + MIN_KF_GAP
+        conf_mask &= gap_ok
+        # best-scoring confirmed candidate
+        conf_scores = jnp.where(conf_mask, top_scores, -jnp.inf)
+        best_slot = jnp.argmax(conf_scores).astype(jnp.int32)
+        confirmed = jnp.any(conf_mask)
+
+        groups = jnp.zeros_like(ls_.groups).at[:MAX_CANDS].set(cand_groups)
+        counts = jnp.zeros_like(ls_.counts).at[:MAX_CANDS].set(new_counts)
         ls_new = LoopState(
             groups=groups, counts=counts,
-            n_groups=jnp.where(has_cand, 1, 0).astype(jnp.int32),
+            n_groups=jnp.sum(top_ok.astype(jnp.int32)),
             last_loop_kf=ls_.last_loop_kf,
         )
-        out_cand = jnp.where(confirmed, best_cand, -1)
+        out_cand = jnp.where(confirmed, top_ids[best_slot], -1)
         return ls_new, out_cand
 
     def noop(args):
@@ -173,18 +196,21 @@ def close_step(
     pc2 = p2w @ T2[:3, :3].T + T2[:3, 3]
     uv1 = cam.camera2pixel(pc1)
     uv2 = cam.camera2pixel(pc2)
+    # per-side observation-octave sigmas (sim3Solver.cpp:53-54): side 1 uses
+    # the current KF's keypoint octave, side 2 the matched cand keypoint's
     sig1 = scale_factors[m.kf_octave[kf]] ** 2
-    # octave of the cand-side observation unknown per kp; use curr octave
+    cand_kp = jnp.maximum(res.src_kp, 0)
+    sig2 = scale_factors[m.kf_octave[cd][cand_kp]] ** 2
     gates1 = 9.21 * sig1
-    gates2 = gates1
+    gates2 = 9.21 * sig2
 
     s12, T12, inl_r, n_ransac = sim3.ransac_sim3(
         pc1, pc2, uv1, uv2, gates1, gates2, pair_ok,
         cam.fx, cam.fy, cam.cx, cam.cy, kf_id, fix_scale=True,
     )
-    ones = jnp.ones((N,))
     s12b, T12b, inl_ref, n_ref = sim3.refine_sim3(
-        T12, s12, pc1, pc2, uv1, uv2, ones, ones, inl_r & pair_ok,
+        T12, s12, pc1, pc2, uv1, uv2, 1.0 / sig1, 1.0 / sig2,
+        inl_r & pair_ok,
         cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=True,
     )
 
@@ -255,10 +281,17 @@ def close_step(
         edge_mask |= m.loop_edges
         edge_mask = edge_mask.at[kf, cd].set(True).at[cd, kf].set(True)
 
-        # measurements: S_i S_j^-1 from PRE-correction poses, except edges
-        # touching the corrected group, which use the corrected poses
+        # measurements: S_i S_j^-1 from PRE-correction poses for every
+        # pre-existing edge (spanning tree, covis>=100, old loop edges) —
+        # these carry the drift signal, because group vertices start at
+        # their corrected poses while the measurement reflects the old
+        # relative (optimizer_ceres.cpp:1141-1236 uses NonCorrectedSim3).
+        # Only the NEW loop connections (corrected group <-> candidate
+        # neighborhood, loopClosing.cpp:461-479 LoopConnections) take the
+        # corrected relative. Within-group relatives are invariant under
+        # the rigid group correction, so pre vs post is identical there.
         post = m.kf_pose
-        use_post = group[:, None] | group[None, :]
+        use_post = (group[:, None] & nb_cand[None, :]) | (nb_cand[:, None] & group[None, :])
         pre_inv = jax.vmap(lie.se3_inverse)(pre_pose)
         post_inv = jax.vmap(lie.se3_inverse)(post)
         meas_pre = jnp.einsum("iab,jbc->ijac", pre_pose, pre_inv)

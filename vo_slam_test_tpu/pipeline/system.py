@@ -11,12 +11,14 @@ One device program per frame implementing the reference's tracking role
   sync. [LOST] goes straight to relocalization.
 
 Deviations from the reference (documented):
-- relocalization tries the single best-scoring BoW candidate per frame
-  instead of iterating all candidates; since relocalization re-runs every
-  frame, recovery converges within a frame or two of the reference;
-- the absolute pose uses batched Horn 3D-3D RANSAC on RGB-D depth instead
-  of EPnP (solvers/ransac.py) with the same 8 px inlier gate and >=10 /
-  >=50 accept thresholds.
+- relocalization evaluates the top RELOC_K BoW candidates as one batched
+  vmap and keeps the best-scoring success, instead of iterating all
+  candidates sequentially and stopping at the first >=50
+  (visualOdometry.cpp:313-395);
+- the absolute pose is batched Horn 3D-3D RANSAC on RGB-D depth when >=50%
+  of the BoW matches carry depth, and batched EPnP 2D-3D (solvers/epnp.py,
+  the reference's cv::solvePnPRansac role) otherwise; same 8 px inlier
+  gate and >=10 / >=50 accept thresholds.
 
 The local-mapping chain (culling, triangulation, local BA) runs as a second
 conditional program per frame (mapping_step). Trajectory bookkeeping keeps
@@ -50,6 +52,8 @@ from ..slam_map.map_state import MapCaps, MapState, empty_map
 from ..solvers import local_ba, pose_only, ransac
 from . import loop_closing
 from .tracking import TrackStats, _spawn_temp_points
+
+RELOC_K = 3  # BoW relocalization candidates evaluated per lost frame
 
 
 @struct.dataclass
@@ -275,29 +279,75 @@ def slam_step(
                     m.kf_valid.astype(jnp.float32),
                 )
                 cand = bow_ret.reloc_candidates(score, shared, m.covis, m.kf_valid)
-                kf = jnp.argmax(jnp.where(cand, score, -1.0)).astype(jnp.int32)
                 any_cand = jnp.any(cand)
+                # the reference iterates ALL BoW candidates per lost frame
+                # (visualOdometry.cpp:313-395); here the top RELOC_K evaluate
+                # as one batched vmap and the best-scoring success wins
+                c_scores, c_kfs = jax.lax.top_k(
+                    jnp.where(cand, score, -jnp.inf), RELOC_K
+                )
+                c_ok = jnp.isfinite(c_scores)
+                c_kfs = c_kfs.astype(jnp.int32)
 
+                def per_candidate(kf, seed):
+                    row_ = m.kf_mp[kf]
+                    live_ = m.pt_valid[jnp.maximum(row_, 0)]
+                    res_ = bow_match.search_by_bow_kf_frame(
+                        kf_desc=m.kf_desc[kf],
+                        kf_groups=bow_voc.feature_groups(voc, m.kf_word[kf]),
+                        kf_mp=row_, kf_angle=m.kf_angle[kf], kf_pt_valid=live_,
+                        f_desc=feats.desc, f_groups=groups_c, f_angle=feats.angle,
+                        f_valid=feats.valid, ratio=0.75,
+                    )
+                    kp_pt_ = res_.assign
+                    has_ = kp_pt_ >= 0
+                    p_world = m.pt_pos[jnp.maximum(kp_pt_, 0)]
+                    # absolute pose: Horn 3D-3D when the matches carry depth,
+                    # EPnP 2D-3D otherwise (the reference's cv::solvePnPRansac,
+                    # visualOdometry.cpp:806-826, works depth-free)
+                    with_d = has_ & (feats.depth > 0)
+                    n_has = jnp.sum(has_.astype(jnp.int32))
+                    n_d = jnp.sum(with_d.astype(jnp.int32))
+                    depth_rich = 2 * n_d >= n_has
+
+                    def horn(_):
+                        p_cam = cam.pixel2camera(
+                            feats.uv_und, jnp.maximum(feats.depth, 1e-3)
+                        )
+                        return ransac.ransac_pose_3d3d(
+                            p_world, p_cam, feats.uv_und, with_d, has_,
+                            cam.fx, cam.fy, cam.cx, cam.cy, seed,
+                        )
+
+                    def pnp(_):
+                        from ..solvers import epnp
+
+                        key = jax.random.PRNGKey(seed.astype(jnp.uint32))
+                        return epnp.ransac_pnp(
+                            key, p_world, feats.uv_und, has_,
+                            inv_level_sigma2[feats.octave], cam,
+                        )
+
+                    Tr_, _, n_ransac_ = jax.lax.cond(depth_rich, horn, pnp, None)
+                    T3_, kp3_, _, n_obs_ = _solve_and_cull(
+                        m, feats, Tr_, kp_pt_, jnp.zeros((N,), bool),
+                        p_world, inv_level_sigma2, cam
+                    )
+                    return T3_, kp3_, n_obs_, res_.count, n_ransac_
+
+                seeds = frame_id * RELOC_K + jnp.arange(RELOC_K, dtype=jnp.int32)
+                cT, cKp, cObs, cBow, cRansac = jax.vmap(per_candidate)(c_kfs, seeds)
+                c_pass = c_ok & (cBow >= 15) & (cRansac >= 10)
+                rank_key = jnp.where(c_pass, cObs, -1)
+                win = jnp.argmax(rank_key).astype(jnp.int32)
+                kf = c_kfs[win]
                 row = m.kf_mp[kf]
                 pt_live = m.pt_valid[jnp.maximum(row, 0)]
-                res = bow_match.search_by_bow_kf_frame(
-                    kf_desc=m.kf_desc[kf],
-                    kf_groups=bow_voc.feature_groups(voc, m.kf_word[kf]),
-                    kf_mp=row, kf_angle=m.kf_angle[kf], kf_pt_valid=pt_live,
-                    f_desc=feats.desc, f_groups=groups_c, f_angle=feats.angle,
-                    f_valid=feats.valid, ratio=0.75,
-                )
-                kp_pt = res.assign
-                p_cam = cam.pixel2camera(feats.uv_und, jnp.maximum(feats.depth, 1e-3))
-                Tr, _, n_ransac = ransac.ransac_pose_3d3d(
-                    m.pt_pos[jnp.maximum(kp_pt, 0)], p_cam, feats.uv_und,
-                    (feats.depth > 0) & (kp_pt >= 0), kp_pt >= 0,
-                    cam.fx, cam.fy, cam.cx, cam.cy, frame_id,
-                )
-                T3, kp_pt3, _, n_obs = _solve_and_cull(
-                    m, feats, Tr, kp_pt, jnp.zeros((N,), bool),
-                    m.pt_pos[jnp.maximum(kp_pt, 0)], inv_level_sigma2, cam
-                )
+                T3 = cT[win]
+                kp_pt3 = cKp[win]
+                n_obs = cObs[win]
+                n_bow = cBow[win]
+                n_ransac = cRansac[win]
 
                 # projection top-ups to reach >=50 (visualOdometry.cpp:330-389)
                 def topup(T_in, kp_in, radius, th):
@@ -361,12 +411,12 @@ def slam_step(
                 T4, kp_pt4, n_obs4 = jax.lax.cond(
                     n_obs < 50, do_topups, lambda a: a, (T3, kp_pt3, n_obs)
                 )
-                ok = any_cand & (res.count >= 15) & (n_ransac >= 10) & (n_obs4 >= 50)
+                ok = any_cand & (n_bow >= 15) & (n_ransac >= 10) & (n_obs4 >= 50)
                 return _Attempt(
                     T=T4, kp_pt=jnp.where(ok, kp_pt4, -1),
                     kp_temp=jnp.zeros((N,), bool),
                     kp_pw=m.pt_pos[jnp.maximum(kp_pt4, 0)],
-                    n_match=res.count, ok=ok,
+                    n_match=n_bow, ok=ok,
                 )
 
             a3 = jax.lax.cond(~a1.ok & ~a2.ok, attempt_reloc, lambda _: fail, None)
@@ -500,7 +550,9 @@ def mapping_step(
         m = culling.cull_map_points(m, kid, caps)
         m = triangulate.create_new_map_points(m, kid, caps, cam, scale_factors)
         m = fuse.search_in_neighbors(m, kid, caps, cam, scale_factors)
-        m = local_ba.local_bundle_adjust(m, kid, caps, cam)
+        m = local_ba.local_bundle_adjust(
+            m, kid, caps, cam, 1.0 / (scale_factors * scale_factors)
+        )
         m = culling.cull_keyframes(m, kid, caps, cam)
         return m
 
@@ -613,7 +665,8 @@ class SlamSystem:
                     from ..solvers.global_ba import global_bundle_adjust
 
                     self.map = global_bundle_adjust(
-                        self.map, self.caps, self.camera, jnp.asarray(0, jnp.int32)
+                        self.map, self.caps, self.camera, jnp.asarray(0, jnp.int32),
+                        inv_level_sigma2=self.inv_level_sigma2,
                     )
 
     def results(self):

@@ -44,6 +44,9 @@ def main(argv=None):
                     help="render the final map (points + keyframes + graph edges) to this PNG (implies --slam)")
     ap.add_argument("--metrics-out", default=None,
                     help="write per-frame tracking metrics CSV here")
+    ap.add_argument("--events-out", default=None,
+                    help="write a run-events JSON (reloc/loop trigger frames, "
+                         "ATE, timing) for tools/parity_check.py (implies --slam)")
     args = ap.parse_args(argv)
 
     from .config import SlamConfig
@@ -63,9 +66,12 @@ def main(argv=None):
         if not args.config:
             ap.error("either a config yaml or --synthetic is required")
         cfg = SlamConfig.from_yaml(args.config)
-        seq = TumDataset(cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num)
+        seq = TumDataset(
+            cfg.dataset_dir, depth_scale=cfg.camera_depthScale, limit=cfg.data_num,
+            width=cfg.camera_width, height=cfg.camera_height,
+        )
 
-    if args.vocabulary_out or args.keyframe_out or args.map_out:
+    if args.vocabulary_out or args.keyframe_out or args.map_out or args.events_out:
         args.slam = True
 
     if args.slam:
@@ -149,9 +155,25 @@ def main(argv=None):
         save_metrics_csv(args.metrics_out, tracker.timestamps, stats)
         print(f"metrics saved to {args.metrics_out}")
 
+    rmse = None
     if gt is not None:
         rmse = ate_rmse(tracker.timestamps, gt, tracker.timestamps, trajectory)
         print(f"ATE RMSE vs ground truth: {rmse*100:.2f} cm")
+
+    if args.events_out:
+        import json
+
+        events = {
+            "n_frames": len(seq),
+            "n_tracked": int(n_ok),
+            "reloc_frames": list(getattr(tracker, "reloc_frames", [])),
+            "loop_frames": list(getattr(tracker, "loop_closures", [])),
+            "n_keyframes": int(getattr(tracker, "n_keyframes", 0)),
+            "ate_rmse_m": None if rmse is None else float(rmse),
+        }
+        with open(args.events_out, "w") as f:
+            json.dump(events, f, indent=2)
+        print(f"run events saved to {args.events_out}")
     return 0
 
 

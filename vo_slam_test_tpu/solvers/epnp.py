@@ -212,8 +212,9 @@ def ransac_pnp(
     EPnP refinement."""
     N = Xw.shape[0]
     logits = jnp.where(valid, 0.0, -jnp.inf)
-    g = jax.random.gumbel(key, (N_HYP, 4, N)) + logits[None, None, :]
-    sample = jnp.argsort(-g, axis=-1)[..., 0].astype(jnp.int32)  # [H,4]
+    # one gumbel vector per hypothesis; top-4 guarantees distinct samples
+    g = jax.random.gumbel(key, (N_HYP, N)) + logits[None, :]
+    sample = jax.lax.top_k(g, 4)[1].astype(jnp.int32)            # [H,4]
     Xs = Xw[sample]                                              # [H,4,3]
     us = uv[sample]
     T = epnp_pose(Xs, us, jnp.ones((N_HYP, 4)), cam)             # [H,4,4]

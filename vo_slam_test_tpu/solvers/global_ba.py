@@ -87,13 +87,16 @@ def global_bundle_adjust(
     fixed_kf: jnp.ndarray,
     iters: int = 10,
     cg_iters: int = 24,
+    inv_level_sigma2: jnp.ndarray | None = None,
 ) -> MapState:
     K = caps.max_kf
     P = caps.max_pt
     o_kf, o_kp, o_pt, o_valid = _obs_table(m)
-    inv_sig2 = 1.0 / (
-        1.2 ** (2.0 * m.kf_octave.reshape(-1)[o_kf * m.kf_mp.shape[1] + o_kp].astype(jnp.float32))
-    )
+    obs_oct = m.kf_octave.reshape(-1)[o_kf * m.kf_mp.shape[1] + o_kp]
+    if inv_level_sigma2 is None:
+        inv_sig2 = 1.0 / (1.2 ** (2.0 * obs_oct.astype(jnp.float32)))
+    else:
+        inv_sig2 = inv_level_sigma2[obs_oct]
     inv_sig = jnp.sqrt(inv_sig2)
     d_mono = jnp.sqrt(CHI2_MONO)
     d_stereo = jnp.sqrt(CHI2_STEREO)

@@ -64,8 +64,16 @@ def _compact(mask: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ids[:size], jnp.minimum(jnp.sum(mask.astype(jnp.int32)), size)
 
 
-def build_problem(m: MapState, center_kf: jnp.ndarray, caps: MapCaps) -> BAProblem:
-    """Select window/fixed keyframes, local points and observations."""
+def build_problem(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    inv_level_sigma2: jnp.ndarray | None = None,
+) -> BAProblem:
+    """Select window/fixed keyframes, local points and observations.
+
+    inv_level_sigma2: [levels] per-octave weights from the configured
+    pyramid (1/scale_factor^(2*octave)); defaults to scale_factor 1.2."""
     K = m.kf_valid.shape[0]
     P = m.pt_valid.shape[0]
     N = m.kf_mp.shape[1]
@@ -131,7 +139,11 @@ def build_problem(m: MapState, center_kf: jnp.ndarray, caps: MapCaps) -> BAProbl
         o_pt=jnp.where(o_ok, pt_slot[jnp.maximum(m.kf_mp[o_k, o_n], 0)], -1),
         o_uv=m.kf_uv_und[o_k, o_n],
         o_ur=jnp.where(o_ok, m.kf_u_right[o_k, o_n], -1.0),
-        o_inv_sigma2=1.0 / (1.2 ** (2.0 * m.kf_octave[o_k, o_n].astype(jnp.float32))),
+        o_inv_sigma2=(
+            1.0 / (1.2 ** (2.0 * m.kf_octave[o_k, o_n].astype(jnp.float32)))
+            if inv_level_sigma2 is None
+            else inv_level_sigma2[m.kf_octave[o_k, o_n]]
+        ),
         o_valid=o_ok,
     )
 
@@ -308,9 +320,15 @@ def _classify_obs(poses, points, prob: BAProblem, cam: Camera):
 
 
 @functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
-def local_bundle_adjust(m: MapState, center_kf: jnp.ndarray, caps: MapCaps, cam: Camera) -> MapState:
+def local_bundle_adjust(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    cam: Camera,
+    inv_level_sigma2: jnp.ndarray | None = None,
+) -> MapState:
     """Run windowed local BA around center_kf and write results into the map."""
-    prob = build_problem(m, center_kf, caps)
+    prob = build_problem(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
 

@@ -59,10 +59,13 @@ def ransac_pose_3d3d(
     """Returns (T_c_w [4,4], inlier_mask [N], n_inliers)."""
     N = p_world.shape[0]
     key = jax.random.PRNGKey(seed.astype(jnp.uint32))
-    # sample triples among valid3d points (probabilities via gumbel trick)
+    # sample triples among valid3d points: one gumbel vector per hypothesis,
+    # top-3 guarantees DISTINCT sample points (independent argmaxes could
+    # pick the same point twice, wasting the hypothesis on a degenerate
+    # alignment exactly when few candidates exist)
     logits = jnp.where(valid3d, 0.0, -1e9)
-    g = jax.random.gumbel(key, (N_HYP, 3, N)) + logits[None, None, :]
-    picks = jnp.argmax(g, axis=-1)                       # [B,3]
+    g = jax.random.gumbel(key, (N_HYP, N)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, 3)                       # [B,3] distinct
 
     src = p_world[picks]                                  # [B,3,3]
     dst = p_cam[picks]

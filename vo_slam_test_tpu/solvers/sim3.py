@@ -66,8 +66,9 @@ def ransac_sim3(
     N = pc1.shape[0]
     key = jax.random.PRNGKey(seed.astype(jnp.uint32))
     logits = jnp.where(valid, 0.0, -1e9)
-    g = jax.random.gumbel(key, (N_HYP, 3, N)) + logits[None, None, :]
-    picks = jnp.argmax(g, axis=-1)
+    # one gumbel vector per hypothesis; top-3 guarantees distinct samples
+    g = jax.random.gumbel(key, (N_HYP, N)) + logits[None, :]
+    _, picks = jax.lax.top_k(g, 3)
 
     src = pc2[picks]   # [B,3,3]
     dst = pc1[picks]
