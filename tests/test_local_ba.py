@@ -134,3 +134,98 @@ class TestLocalBA:
         m2 = local_bundle_adjust(m, jnp.asarray(5, jnp.int32), CAPS, cam)
         assert int(np.array(m2.kf_mp)[3, slots[0]]) == -1  # edge erased
         assert int(np.array(m2.pt_obs_cnt)[7]) == obs_before - 1
+
+
+class TestPallasParity:
+    """ops/ba_pallas.py (interpret mode on CPU) vs the XLA [blk,O,L] path.
+
+    Exact multi-iteration pose parity is not meaningful: points constrained
+    only in 2 directions make Hll+lam*I nearly singular, so 1-ulp rounding
+    differences in the closed-form inverse amplify arbitrarily (LM's cost
+    gate rejects the resulting garbage steps on both paths). What must
+    match: the per-iteration accumulators at f32 rounding, and the
+    optimization outcome."""
+
+    def test_accumulators_match_xla(self):
+        from vo_slam_test_tpu.ops import ba_pallas
+        from vo_slam_test_tpu.solvers.local_ba import (
+            W_KF, _jacobians_ol, build_problem_ol,
+        )
+
+        m, gt_poses, gt_pts, cam = fabricate_map()
+        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), CAPS)
+        poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
+        points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
+        wk = min(W_KF, int(m.kf_valid.shape[0]))
+        WF = int(prob.kf_ids.shape[0])
+        O, L = prob.o_valid.shape
+        act = prob.o_valid.astype(jnp.float32)
+        povar = jnp.sum(prob.oh_win, axis=0)
+        inv_sig = jnp.sqrt(prob.o_inv_sigma2)
+
+        J_pose, J_pt, e, stereo = _jacobians_ol(poses, points, prob, cam)
+        ew = e * inv_sig[None]
+        Jp = J_pose * inv_sig[None, None]
+        Jl = J_pt * inv_sig[None, None]
+        nrm = jnp.sqrt(jnp.sum(ew * ew, 0) + 1e-12)
+        delta = jnp.where(stereo, jnp.sqrt(7.815), jnp.sqrt(5.991))
+        w = act * jnp.minimum(1.0, delta / nrm)
+        bl = jnp.einsum("riol,rol,ol->il", Jl, ew, w)
+        Jpw = Jp * w[None, None]
+        oh2 = prob.oh_win.reshape(wk, O * L)
+        Hpp = oh2 @ jnp.einsum("riol,rjol->ijol", Jpw, Jp).reshape(36, O * L).T
+        bp = oh2 @ jnp.einsum("riol,rol->iol", Jpw, ew).reshape(6, O * L).T
+        Wc = jnp.einsum(
+            "wol,ijol->wijl", prob.oh_win,
+            jnp.einsum("riol,rjol->ijol", Jpw, Jl),
+        )
+        s2 = jnp.sum(ew * ew, 0)
+        s = jnp.sqrt(s2 + 1e-12)
+        rho = jnp.where(s <= delta, s2, 2 * delta * s - delta * delta)
+        cost = jnp.sum(jnp.where(prob.o_valid, rho, 0.0))
+
+        out = ba_pallas.ba_accumulate(
+            jnp.asarray(1e-4), poses.reshape(WF, 16).T, points.T,
+            prob.o_slot, prob.o_uv[0], prob.o_uv[1], prob.o_ur,
+            prob.o_inv_sigma2, act, povar,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            WF=WF, wk=wk, O=O, use_huber=True, interpret=True,
+        )
+        Hpp_k, bp_k, S_k, rhs_k, cost_k, Hinv_k, bl_k, Wc_k = out
+        scale = float(jnp.abs(Hpp).max())
+        np.testing.assert_allclose(np.asarray(cost_k)[0, 0], float(cost), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(Hpp_k), np.asarray(Hpp), atol=2e-5 * scale)
+        np.testing.assert_allclose(
+            np.asarray(bp_k), np.asarray(bp), atol=2e-5 * float(jnp.abs(bp).max()))
+        np.testing.assert_allclose(
+            np.asarray(bl_k), np.asarray(bl), atol=2e-5 * float(jnp.abs(bl).max()))
+        np.testing.assert_allclose(
+            np.asarray(Wc_k).reshape(wk, 6, 3, L), np.asarray(Wc),
+            atol=2e-5 * float(jnp.abs(Wc).max()))
+
+    def test_pallas_pass_recovers_geometry(self):
+        from vo_slam_test_tpu.solvers.local_ba import (
+            W_KF, _classify_ol, _lm_pass_pallas, build_problem_ol,
+        )
+
+        m, gt_poses, gt_pts, cam = fabricate_map()
+        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), CAPS)
+        poses0 = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
+        points0 = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
+        wk = min(W_KF, int(m.kf_valid.shape[0]))
+        poses, points = _lm_pass_pallas(
+            poses0, points0, prob, cam, prob.o_valid, True, 5, wk, interpret=True
+        )
+        inl = _classify_ol(poses, points, prob, cam)
+        poses, points = _lm_pass_pallas(
+            poses, points, prob, cam, inl, False, 10, wk, interpret=True
+        )
+        # window slots are covisibility-ordered; map back to keyframe ids
+        kf_ids = np.asarray(prob.kf_ids)
+        est = np.asarray(poses)
+        terr = [
+            np.linalg.norm(est[s, :3, 3] - gt_poses[kf_ids[s], :3, 3])
+            for s in range(wk) if 0 <= kf_ids[s] < 6
+        ]
+        assert len(terr) == 6
+        assert max(terr) < 0.01, terr

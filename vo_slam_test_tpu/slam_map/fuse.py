@@ -174,35 +174,46 @@ def _replace_points(m: MapState, loser: jnp.ndarray, winner: jnp.ndarray, mask: 
         ),
     )
 
-    def body(o, m):
-        okf = m.pt_obs_kf[jnp.where(mask, loser, P - 1), o]   # [n]
-        okp = m.pt_obs_kp[jnp.where(mask, loser, P - 1), o]
-        has = mask & (okf >= 0)
-        # does the winner already observe this keyframe?
-        w_rows = m.pt_obs_kf[jnp.where(has, winner, P - 1)]    # [n,O]
-        dup = jnp.any(w_rows == okf[:, None], axis=1) & has
-        move = has & ~dup
-        kf_w = jnp.where(has, okf, K - 1)
-        kp_w = jnp.where(has, okp, N - 1)
-        # rebind or clear the keyframe slot
-        new_val = jnp.where(move, winner, -1)
-        m = m.replace(
-            kf_mp=m.kf_mp.at[kf_w, kp_w].set(jnp.where(has, new_val, m.kf_mp[kf_w, kp_w]))
-        )
-        # append the moved observation to the winner
-        freew = m.pt_obs_kf[jnp.where(move, winner, P - 1)] < 0
-        slot = jnp.argmax(freew, axis=1)
-        can = move & jnp.any(freew, axis=1)
-        pr = jnp.where(can, winner, P - 1)
-        pc_ = jnp.where(can, slot, O - 1)
-        m = m.replace(
-            pt_obs_kf=m.pt_obs_kf.at[pr, pc_].set(jnp.where(can, okf, m.pt_obs_kf[pr, pc_])),
-            pt_obs_kp=m.pt_obs_kp.at[pr, pc_].set(jnp.where(can, okp, m.pt_obs_kp[pr, pc_])),
-            pt_obs_cnt=m.pt_obs_cnt.at[jnp.where(move, winner, P - 1)].add(jnp.where(move, 1, 0)),
-        )
-        return m
+    # batched over all O loser slots at once (a fori_loop over slots cost
+    # ~24x4 serialized scatters; this form needs 3). If the same winner
+    # appears in two merge rows, colliding free-slot writes lose one
+    # observation — the per-slot loop had the same collision class.
+    l_rows = jnp.where(mask, loser, P - 1)
+    w_rows_id = jnp.where(mask, winner, P - 1)
+    lkf = m.pt_obs_kf[l_rows]                       # [n,O]
+    lkp = m.pt_obs_kp[l_rows]
+    has = mask[:, None] & (lkf >= 0)
+    wkf = m.pt_obs_kf[w_rows_id]                    # [n,O]
+    dup = jnp.any(lkf[:, :, None] == wkf[:, None, :], axis=2) & has
+    move = has & ~dup
 
-    m = jax.lax.fori_loop(0, O, body, m)
+    # rebind (move) or clear (dup) every touched keyframe slot
+    kf_w = jnp.where(has, lkf, K - 1)
+    kp_w = jnp.where(has, lkp, N - 1)
+    new_val = jnp.where(move, winner[:, None], -1)
+    m = m.replace(
+        kf_mp=m.kf_mp.at[kf_w, kp_w].set(
+            jnp.where(has, new_val, m.kf_mp[kf_w, kp_w])
+        )
+    )
+
+    # append moved observations into the winner's free slots: the r-th move
+    # of a row lands in the r-th free slot
+    rank = jnp.cumsum(move.astype(jnp.int32), axis=1) - 1      # [n,O]
+    free = wkf < 0
+    forder = jnp.argsort(jnp.where(free, 0, 1), axis=1, stable=True).astype(jnp.int32)
+    nfree = jnp.sum(free.astype(jnp.int32), axis=1)
+    can = move & (rank < nfree[:, None])
+    slot = jnp.take_along_axis(forder, jnp.clip(rank, 0, O - 1), axis=1)
+    pr = jnp.where(can, winner[:, None], P - 1)
+    pc_ = jnp.where(can, slot, O - 1)
+    m = m.replace(
+        pt_obs_kf=m.pt_obs_kf.at[pr, pc_].set(jnp.where(can, lkf, m.pt_obs_kf[pr, pc_])),
+        pt_obs_kp=m.pt_obs_kp.at[pr, pc_].set(jnp.where(can, lkp, m.pt_obs_kp[pr, pc_])),
+        pt_obs_cnt=m.pt_obs_cnt.at[jnp.where(mask, winner, P - 1)].add(
+            jnp.where(mask, jnp.sum(can.astype(jnp.int32), axis=1), 0)
+        ),
+    )
     # erase losers
     bad = jnp.zeros((P,), bool).at[jnp.where(mask, loser, P - 1)].max(mask)
     bad = bad.at[P - 1].set(False)

@@ -148,151 +148,288 @@ def build_problem(
     )
 
 
-def _residuals(poses, points, prob: BAProblem, cam: Camera):
-    """e [M,3] (row 3 zeroed for mono), pc [M,3]."""
-    kf = jnp.maximum(prob.o_kf, 0)
-    pt = jnp.maximum(prob.o_pt, 0)
-    T = poses[kf]                       # [M,4,4]
-    X = points[pt]                      # [M,3]
-    pc = jnp.einsum("mij,mj->mi", T[:, :3, :3], X) + T[:, :3, 3]
-    z = pc[:, 2]
+
+
+# ---------------------------------------------------------------------------
+# Dense [blk, O, L] observation layout — the TPU-fast path
+#
+# Two lessons from per-op TPU traces of earlier layouts:
+#   1. segment-sum / scatter-add accumulations serialize into row-wise DMAs
+#      (~12 ms per LM iteration on the flat [M] layout);
+#   2. arrays whose LAST TWO dims are small blocks ([M,6,6], [L,O,6,3], ...)
+#      tile to (8,128) with 20-40x padding waste, so even "dense" einsums
+#      crawl (~26 ms/iteration on an [L,O,blk] layout).
+# This layout keeps block dims LEADING and the big point axis LAST
+# ([6,6,O,L] etc. -> (O,L) tiles map onto (8,128) exactly), observations as
+# per-point observer slots straight from pt_obs_kf/pt_obs_kp (capped at
+# O_BA), and replaces every gather/scatter in the iteration with one-hot
+# contractions and batched GEMMs:
+#   camera-frame points:  Y = R_w X_l + t_w as one [WF,3,L] GEMM, selected
+#                         per observation by the observer one-hot;
+#   Hll/bl:               dense reduction over the O axis;
+#   Hpp/bp:               [W, O*L] x [O*L, blk] GEMM on the window one-hot;
+#   cross/Schur products: small-contraction einsums over (O | 3) with L in
+#                         vector lanes.
+# No scatters and no per-iteration gathers anywhere.
+# ---------------------------------------------------------------------------
+
+O_BA = 12  # observer slots per point entering BA (valid-first compaction)
+
+
+class BAProblemOL(NamedTuple):
+    kf_ids: jnp.ndarray      # [WF] i32 (window first; -1 pad)
+    kf_fixed: jnp.ndarray    # [WF] bool
+    pt_ids: jnp.ndarray      # [L] i32 (-1 pad)
+    o_slot: jnp.ndarray      # [O,L] i32 index into kf_ids (-1 invalid)
+    o_kp: jnp.ndarray        # [O,L] i32 keypoint in that keyframe
+    o_col: jnp.ndarray       # [O,L] i32 original pt_obs column (for erasure)
+    o_uv: jnp.ndarray        # [2,O,L]
+    o_ur: jnp.ndarray        # [O,L] (-1 mono)
+    o_inv_sigma2: jnp.ndarray  # [O,L]
+    o_valid: jnp.ndarray     # [O,L] bool
+    oh_all: jnp.ndarray      # [WF,O,L] f32 observer one-hot (valid obs)
+    oh_win: jnp.ndarray      # [W,O,L] f32 one-hot where the pose varies
+
+
+def build_problem_ol(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    inv_level_sigma2: jnp.ndarray | None = None,
+) -> BAProblemOL:
+    """Window/fixed/point selection as build_problem; observations from the
+    per-point observer lists (valid-first, capped at O_BA slots)."""
+    K = m.kf_valid.shape[0]
+    P = m.pt_valid.shape[0]
+    wk = min(W_KF, K)
+    fk = min(F_KF, K)
+    l_pt = min(L_PT, P)
+
+    w_row = m.covis[center_kf] * m.kf_valid.astype(jnp.int32)
+    w_row = w_row.at[center_kf].set(jnp.int32(1 << 20))
+    order = jnp.argsort(-w_row)
+    win_ids = jnp.where(w_row[order][:wk] > 0, order[:wk], -1).astype(jnp.int32)
+    in_window = jnp.zeros((K,), bool).at[jnp.maximum(win_ids, 0)].max(win_ids >= 0)
+
+    rows_on = in_window[:, None] & (m.kf_mp >= 0) & m.kf_kp_valid
+    flat_pt = jnp.where(rows_on, m.kf_mp, P - 1).reshape(-1)
+    pt_mask = jnp.zeros((P,), bool).at[flat_pt].max(rows_on.reshape(-1))
+    pt_mask &= m.pt_valid
+    pt_ids, _ = _compact(pt_mask, l_pt)
+    in_local = jnp.zeros((P,), bool).at[jnp.maximum(pt_ids, 0)].max(pt_ids >= 0)
+
+    sees_local = in_local[jnp.maximum(m.kf_mp, 0)] & (m.kf_mp >= 0)
+    kf_sees = jnp.any(sees_local, axis=1) & m.kf_valid
+    fixed_mask = kf_sees & ~in_window
+    fix_ids, _ = _compact(fixed_mask, fk)
+
+    kf_ids = jnp.concatenate([win_ids, fix_ids])
+    kf_fixed = jnp.concatenate([jnp.zeros((wk,), bool), jnp.ones((fk,), bool)])
+    has_fixed = jnp.any(fix_ids >= 0)
+    lowest = jnp.argmin(jnp.where(win_ids >= 0, win_ids, jnp.int32(1 << 30)))
+    kf_fixed = kf_fixed.at[lowest].set(jnp.where(has_fixed, kf_fixed[lowest], True))
+    kf_slot = (
+        jnp.full((K + 1,), -1, jnp.int32)
+        .at[jnp.where(kf_ids >= 0, kf_ids, K)]
+        .set(jnp.arange(wk + fk, dtype=jnp.int32))[:K]
+    )
+
+    # observations from the observer lists, valid-first into O_BA slots
+    pid = jnp.maximum(pt_ids, 0)                     # [L]
+    okf = m.pt_obs_kf[pid]                           # [L,O_map]
+    okp = m.pt_obs_kp[pid]
+    okf_s = jnp.maximum(okf, 0)
+    okp_s = jnp.maximum(okp, 0)
+    slot = jnp.where(okf >= 0, kf_slot[okf_s], -1)
+    valid_full = (
+        (pt_ids >= 0)[:, None]
+        & (okf >= 0) & (okp >= 0) & (slot >= 0)
+        & m.kf_kp_valid[okf_s, okp_s]
+        & (m.kf_mp[okf_s, okp_s] == pid[:, None])    # list consistent with map
+    )
+    o_map = okf.shape[1]
+    o_ba = min(O_BA, o_map)
+    col = jnp.argsort(jnp.where(valid_full, 0, 1), axis=1, stable=True)[:, :o_ba]
+    take = lambda a: jnp.take_along_axis(a, col, axis=1)
+    okf_c, okp_c, slot_c, valid_c = take(okf_s), take(okp_s), take(slot), take(valid_full)
+
+    octave = m.kf_octave[okf_c, okp_c]
+    inv_sig2 = (
+        1.0 / (1.2 ** (2.0 * octave.astype(jnp.float32)))
+        if inv_level_sigma2 is None
+        else inv_level_sigma2[octave]
+    )
+    uv = m.kf_uv_und[okf_c, okp_c]                   # [L,O,2]
+    ur = jnp.where(valid_c, m.kf_u_right[okf_c, okp_c], -1.0)
+
+    slot_t = jnp.where(valid_c, slot_c, -1).T        # [O,L]
+    valid_t = valid_c.T
+    pose_var = valid_t & (slot_t >= 0) & (slot_t < wk) & ~kf_fixed[jnp.maximum(slot_t, 0)]
+    oh_all = (
+        jax.nn.one_hot(jnp.where(valid_t, slot_t, wk + fk), wk + fk + 1,
+                       dtype=jnp.float32, axis=0)[: wk + fk]
+    )
+    oh_win = (
+        jax.nn.one_hot(jnp.where(pose_var, slot_t, wk), wk + 1,
+                       dtype=jnp.float32, axis=0)[:wk]
+    )
+    return BAProblemOL(
+        kf_ids=kf_ids,
+        kf_fixed=kf_fixed,
+        pt_ids=pt_ids,
+        o_slot=slot_t,
+        o_kp=okp_c.T,
+        o_col=col.astype(jnp.int32).T,
+        o_uv=jnp.transpose(uv, (2, 0, 1))[:, :, :].transpose(0, 2, 1),  # [2,O,L]
+        o_ur=ur.T,
+        o_inv_sigma2=inv_sig2.T,
+        o_valid=valid_t,
+        oh_all=oh_all,
+        oh_win=oh_win,
+    )
+
+
+def _inv3x3_ol(H):
+    """Closed-form inverse of [3,3,L] SPD blocks (component-wise adjugate)."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 0], H[1, 1], H[1, 2]
+    g, h, i = H[2, 0], H[2, 1], H[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    row0 = jnp.stack([A, -(b * i - c * h), (b * f - c * e)], 0)
+    row1 = jnp.stack([B, (a * i - c * g), -(a * f - c * d)], 0)
+    row2 = jnp.stack([C, -(a * h - b * g), (a * e - b * d)], 0)
+    return jnp.stack([row0, row1, row2], 0) * inv_det[None, None]
+
+
+def _pc_ol(poses, points, prob: BAProblemOL):
+    """Camera-frame coordinates per observation: [3,O,L]."""
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    Y = jnp.einsum("wcb,lb->wcl", R, points) + t[:, :, None]   # [WF,3,L]
+    return jnp.einsum("wol,wcl->col", prob.oh_all, Y)
+
+
+def _residuals_ol(poses, points, prob: BAProblemOL, cam: Camera):
+    """e [3,O,L] (row 3 zeroed for mono), pc [3,O,L], stereo [O,L]."""
+    pc = _pc_ol(poses, points, prob)
+    z = pc[2]
     safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     invz = 1.0 / safe_z
-    u = cam.fx * pc[:, 0] * invz + cam.cx
-    v = cam.fy * pc[:, 1] * invz + cam.cy
+    u = cam.fx * pc[0] * invz + cam.cx
+    v = cam.fy * pc[1] * invz + cam.cy
     ur = u - cam.bf * invz
     stereo = prob.o_ur >= 0
     e = jnp.stack(
-        [u - prob.o_uv[:, 0], v - prob.o_uv[:, 1], jnp.where(stereo, ur - prob.o_ur, 0.0)],
-        axis=-1,
-    )
+        [u - prob.o_uv[0], v - prob.o_uv[1],
+         jnp.where(stereo, ur - prob.o_ur, 0.0)], 0)
     return e, pc, stereo
 
 
-def _jacobians(poses, points, prob: BAProblem, cam: Camera):
-    """J_pose [M,3,6] (left-mult twist), J_pt [M,3,3], e [M,3], stereo [M]."""
-    e, pc, stereo = _residuals(poses, points, prob, cam)
-    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+def _jacobians_ol(poses, points, prob: BAProblemOL, cam: Camera):
+    """J_pose [3,6,O,L], J_pt [3,3,O,L], e [3,O,L], stereo [O,L]."""
+    e, pc, stereo = _residuals_ol(poses, points, prob, cam)
+    x, y, z = pc[0], pc[1], pc[2]
     safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     invz = 1.0 / safe_z
     invz2 = invz * invz
     zero = jnp.zeros_like(x)
-    du = jnp.stack([cam.fx * invz, zero, -cam.fx * x * invz2], -1)
-    dv = jnp.stack([zero, cam.fy * invz, -cam.fy * y * invz2], -1)
-    dur = du + jnp.stack([zero, zero, cam.bf * invz2], -1)
-    dproj = jnp.stack([du, dv, jnp.where(stereo[:, None], dur, 0.0)], -2)  # [M,3,3]
-    # pose: d pc/d twist = [I | -hat(pc)]
-    dpc = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:1] + (3, 3)), -lie.hat(pc)],
-        axis=-1,
-    )
-    J_pose = dproj @ dpc
-    # point: d pc/d X = R
-    kf = jnp.maximum(prob.o_kf, 0)
-    R = poses[kf][:, :3, :3]
-    J_pt = dproj @ R
+    du = jnp.stack([cam.fx * invz, zero, -cam.fx * x * invz2], 0)   # [3,O,L]
+    dv = jnp.stack([zero, cam.fy * invz, -cam.fy * y * invz2], 0)
+    dur = du + jnp.stack([zero, zero, cam.bf * invz2], 0)
+    dproj = jnp.stack([du, dv, jnp.where(stereo[None], dur, 0.0)], 0)  # [r,b,O,L]
+    one = jnp.ones_like(x)
+    # dpc/dtwist = [I | -hat(pc)] as [b, c=6, O, L]
+    b0 = jnp.stack([one, zero, zero, zero, z, -y], 0)
+    b1 = jnp.stack([zero, one, zero, -z, zero, x], 0)
+    b2 = jnp.stack([zero, zero, one, y, -x, zero], 0)
+    dpc = jnp.stack([b0, b1, b2], 0)                                  # [3,6,O,L]
+    J_pose = jnp.einsum("rbol,bcol->rcol", dproj, dpc)                # [3,6,O,L]
+    R_lo = jnp.einsum("wol,wbj->bjol", prob.oh_all, poses[:, :3, :3])  # [3,3,O,L]
+    J_pt = jnp.einsum("rbol,bjol->rjol", dproj, R_lo)                 # [3,3,O,L]
     return J_pose, J_pt, e, stereo
 
 
-def _lm_pass(
-    poses0, points0, prob: BAProblem, cam: Camera, active, use_huber: bool, iters: int,
-    wk: int,
+def _lm_pass_ol(
+    poses0, points0, prob: BAProblemOL, cam: Camera, active, use_huber: bool,
+    iters: int, wk: int,
 ):
-    """One LM pass; returns (poses, points). wk = static window size."""
-    M = prob.o_valid.shape[0]
+    """One LM pass over the dense [blk,O,L] layout; returns (poses, points)."""
     Wp = wk
-    L = points0.shape[0]
-
-    inv_sig = jnp.sqrt(prob.o_inv_sigma2)
+    inv_sig = jnp.sqrt(prob.o_inv_sigma2)          # [O,L]
     d_mono = jnp.sqrt(CHI2_MONO)
     d_stereo = jnp.sqrt(CHI2_STEREO)
+    W_, O, L = prob.oh_win.shape
+    oh2 = prob.oh_win.reshape(Wp, O * L)
 
-    def cost_of(poses, points):
-        e, _, stereo = _residuals(poses, points, prob, cam)
-        ew = e * inv_sig[:, None]
-        s2 = jnp.sum(ew * ew, -1)
+    def rho_sum(e, stereo, act):
+        ew = e * inv_sig[None]
+        s2 = jnp.sum(ew * ew, 0)                   # [O,L]
         if use_huber:
             delta = jnp.where(stereo, d_stereo, d_mono)
             s = jnp.sqrt(s2 + 1e-12)
             rho = jnp.where(s <= delta, s2, 2 * delta * s - delta * delta)
         else:
             rho = s2
-        return jnp.sum(jnp.where(active, rho, 0.0))
+        return jnp.sum(jnp.where(act, rho, 0.0))
+
+    def cost_of(poses, points):
+        e, _, stereo = _residuals_ol(poses, points, prob, cam)
+        return rho_sum(e, stereo, active)
 
     def body(state):
         poses, points, lam, it, done = state
-        J_pose, J_pt, e, stereo = _jacobians(poses, points, prob, cam)
-        ew = e * inv_sig[:, None]
-        Jp = J_pose * inv_sig[:, None, None]
-        Jl = J_pt * inv_sig[:, None, None]
+        J_pose, J_pt, e, stereo = _jacobians_ol(poses, points, prob, cam)
+        ew = e * inv_sig[None]
+        Jp = J_pose * inv_sig[None, None]
+        Jl = J_pt * inv_sig[None, None]
         if use_huber:
-            nrm = jnp.sqrt(jnp.sum(ew * ew, -1) + 1e-12)
+            nrm = jnp.sqrt(jnp.sum(ew * ew, 0) + 1e-12)
             delta = jnp.where(stereo, d_stereo, d_mono)
             wrob = jnp.minimum(1.0, delta / nrm)
         else:
-            wrob = jnp.ones((M,), e.dtype)
-        w = active.astype(e.dtype) * wrob
-        # fixed poses contribute residuals but no pose variables
-        kf = jnp.maximum(prob.o_kf, 0)
-        pt = jnp.maximum(prob.o_pt, 0)
-        pose_var = (~prob.kf_fixed[kf]) & (prob.o_kf >= 0) & (kf < Wp)
+            wrob = jnp.ones((O, L), e.dtype)
+        w = active.astype(e.dtype) * wrob          # [O,L]
 
-        wp = w * pose_var.astype(e.dtype)
-        # block-diagonal pose Hessian [W,6,6] and gradient [W,6]
-        Hpp = jax.ops.segment_sum(
-            wp[:, None, None] * jnp.einsum("mri,mrj->mij", Jp, Jp), kf, num_segments=prob.kf_fixed.shape[0]
-        )[:Wp]
-        bp = jax.ops.segment_sum(
-            wp[:, None] * jnp.einsum("mri,mr->mi", Jp, ew), kf, num_segments=prob.kf_fixed.shape[0]
-        )[:Wp]
-        # point Hessian blocks [L,3,3] and gradient [L,3]
-        Hll = jax.ops.segment_sum(
-            w[:, None, None] * jnp.einsum("mri,mrj->mij", Jl, Jl), pt, num_segments=L
-        )
-        bl = jax.ops.segment_sum(
-            w[:, None] * jnp.einsum("mri,mr->mi", Jl, ew), pt, num_segments=L
-        )
-        # cross terms W[k,p] in dense [W,L,6,3] via scatter-add
-        cross_obs = wp[:, None, None] * jnp.einsum("mri,mrj->mij", Jp, Jl)  # [M,6,3]
-        Wc = jnp.zeros((Wp, L, 6, 3), e.dtype).at[
-            jnp.where(pose_var, kf, 0), jnp.where(pose_var, pt, 0)
-        ].add(jnp.where(pose_var[:, None, None], cross_obs, 0.0))
+        # point blocks: dense O-axis reductions, L in lanes
+        Hll = jnp.einsum("riol,rjol,ol->ijl", Jl, Jl, w)     # [3,3,L]
+        bl = jnp.einsum("riol,rol,ol->il", Jl, ew, w)        # [3,L]
 
-        # damping
-        lamI3 = lam * jnp.eye(3, dtype=e.dtype)
-        Hll_d = Hll + lamI3[None] + 1e-8 * jnp.eye(3, dtype=e.dtype)[None]
-        Hll_inv = linalg.inv3x3(Hll_d)  # closed form; LU batches crawl on TPU
+        # pose blocks: one [W, O*L] x [O*L, blk] GEMM each
+        Jpw = Jp * w[None, None]
+        Gpp = jnp.einsum("riol,rjol->ijol", Jpw, Jp).reshape(36, O * L)
+        Hpp = (oh2 @ Gpp.T).reshape(Wp, 6, 6)
+        gp = jnp.einsum("riol,rol->iol", Jpw, ew).reshape(6, O * L)
+        bp = oh2 @ gp.T                                       # [W,6]
+        cross = jnp.einsum("riol,rjol->ijol", Jpw, Jl)        # [6,3,O,L]
+        Wc = jnp.einsum("wol,ijol->wijl", prob.oh_win, cross)  # [W,6,3,L]
+
+        lam3 = lam + 0.0
+        Hll_d = Hll.at[0, 0].add(lam3 + 1e-8).at[1, 1].add(lam3 + 1e-8).at[2, 2].add(lam3 + 1e-8)
+        Hll_inv = _inv3x3_ol(Hll_d)                           # [3,3,L]
         lamI6 = lam * jnp.eye(6, dtype=e.dtype)
         Hpp_d = Hpp + lamI6[None]
 
-        # Schur: S = blockdiag(Hpp) - W Hll^-1 W^T  over the point index
-        WHinv = jnp.einsum("kpij,pjl->kpil", Wc, Hll_inv)          # [W,L,6,3]
-        S_off = jnp.einsum("kpil,qpml->kiqm", WHinv, Wc)            # [W,6,W,6]
+        WHinv = jnp.einsum("wikl,kjl->wijl", Wc, Hll_inv)     # [W,6,3,L]
+        S_off = jnp.einsum("wikl,vmkl->wivm", WHinv, Wc)      # [W,6,W,6]
         S = -S_off
         S = S.at[jnp.arange(Wp), :, jnp.arange(Wp), :].add(Hpp_d)
-        rhs = bp - jnp.einsum("kpil,pl->ki", WHinv, bl)             # [W,6]
+        rhs = bp - jnp.einsum("wikl,kl->wi", WHinv, bl)
 
         Sd = S.reshape(Wp * 6, Wp * 6) + 1e-7 * jnp.eye(Wp * 6, dtype=e.dtype)
-        # SPD after damping: Cholesky halves the cost of the LU path on TPU
         chol = jnp.linalg.cholesky(Sd)
         dx_pose = -jax.scipy.linalg.cho_solve((chol, True), rhs.reshape(-1)).reshape(Wp, 6)
-        # back-substitute points: dx_l = -Hll^-1 (bl + W^T dx_p)
-        Wt_dx = jnp.einsum("kpil,ki->pl", Wc, dx_pose)
-        dx_pt = -jnp.einsum("pij,pj->pi", Hll_inv, bl + Wt_dx)
+        Wt_dx = jnp.einsum("wikl,wi->kl", Wc, dx_pose)        # [3,L]
+        dx_pt = -jnp.einsum("ijl,jl->il", Hll_inv, bl + Wt_dx)
 
         new_win = lie.se3_exp(dx_pose) @ poses[:Wp]
         poses_new = jnp.concatenate([new_win, poses[Wp:]], axis=0)
-        points_new = points + dx_pt
+        points_new = points + dx_pt.T
 
-        # old cost from the residuals already in hand
-        s2_old = jnp.sum(ew * ew, -1)
-        if use_huber:
-            delta_o = jnp.where(stereo, d_stereo, d_mono)
-            so = jnp.sqrt(s2_old + 1e-12)
-            rho_old = jnp.where(so <= delta_o, s2_old, 2 * delta_o * so - delta_o * delta_o)
-        else:
-            rho_old = s2_old
-        c_old = jnp.sum(jnp.where(active, rho_old, 0.0))
+        c_old = rho_sum(e, stereo, active)
         c_new = cost_of(poses_new, points_new)
         improved = c_new < c_old
         poses = jnp.where(improved, poses_new, poses)
@@ -305,18 +442,81 @@ def _lm_pass(
         return (state[3] < iters) & (~state[4])
 
     poses, points, _, _, _ = jax.lax.while_loop(
-        cond, body, (poses0, points0, jnp.asarray(1e-4, poses0.dtype), jnp.asarray(0), jnp.asarray(False))
+        cond, body,
+        (poses0, points0, jnp.asarray(1e-4, poses0.dtype), jnp.asarray(0), jnp.asarray(False)),
     )
     return poses, points
 
 
-def _classify_obs(poses, points, prob: BAProblem, cam: Camera):
-    """chi2 + positive-depth gates per observation (optimizer_ceres.cpp:627-699)."""
-    e, pc, stereo = _residuals(poses, points, prob, cam)
-    e2 = jnp.sum(e[:, :2] ** 2, -1)
-    chi2 = jnp.where(stereo, e2 + e[:, 2] ** 2, e2) * prob.o_inv_sigma2
+def _lm_pass_pallas(
+    poses0, points0, prob: BAProblemOL, cam: Camera, active, use_huber: bool,
+    iters: int, wk: int, interpret: bool = False,
+):
+    """The Pallas-kernel LM pass (ops/ba_pallas.py): numerically equivalent
+    to _lm_pass_ol, used on the TPU backend where XLA's layout choices for
+    the small-block tensors are pathological."""
+    from ..ops import ba_pallas
+
+    WF = prob.kf_ids.shape[0]
+    O, L = prob.o_valid.shape
+    act = active.astype(jnp.float32)
+    povar = jnp.sum(prob.oh_win, axis=0)
+    u_row = prob.o_uv[0]
+    v_row = prob.o_uv[1]
+    fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+
+    def body(state):
+        poses, points, lam, it, done = state
+        posesT = poses.reshape(WF, 16).T
+        X = points.T
+        Hpp36, bp, S_red, rhs_red, cost_old, Hinv, bl, Wc = ba_pallas.ba_accumulate(
+            lam, posesT, X, prob.o_slot, u_row, v_row, prob.o_ur,
+            prob.o_inv_sigma2, act, povar,
+            fx, fy, cx, cy, bf,
+            WF=WF, wk=wk, O=O, use_huber=use_huber, interpret=interpret,
+        )
+        Hpp = Hpp36.reshape(wk, 6, 6) + lam * jnp.eye(6, dtype=poses.dtype)[None]
+        S = -S_red.reshape(wk, 6, wk, 6)
+        S = S.at[jnp.arange(wk), :, jnp.arange(wk), :].add(Hpp)
+        rhs = bp - rhs_red.reshape(wk, 6)
+        Sd = S.reshape(wk * 6, wk * 6) + 1e-7 * jnp.eye(wk * 6, dtype=poses.dtype)
+        chol = jnp.linalg.cholesky(Sd)
+        dx_pose = -jax.scipy.linalg.cho_solve((chol, True), rhs.reshape(-1)).reshape(wk, 6)
+        dx_pt = ba_pallas.ba_backsub(Wc, Hinv, bl, dx_pose, wk=wk, interpret=interpret)
+
+        new_win = lie.se3_exp(dx_pose) @ poses[:wk]
+        poses_new = jnp.concatenate([new_win, poses[wk:]], axis=0)
+        points_new = points + dx_pt.T
+
+        cost_new = ba_pallas.ba_cost(
+            poses_new.reshape(WF, 16).T, points_new.T, prob.o_slot,
+            u_row, v_row, prob.o_ur, prob.o_inv_sigma2, act,
+            fx, fy, cx, cy, bf,
+            WF=WF, O=O, use_huber=use_huber, interpret=interpret,
+        )
+        improved = cost_new[0, 0] < cost_old[0, 0]
+        poses = jnp.where(improved, poses_new, poses)
+        points = jnp.where(improved, points_new, points)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), jnp.minimum(lam * 4.0, 1e8))
+        done = jnp.maximum(jnp.max(jnp.abs(dx_pose)), jnp.max(jnp.abs(dx_pt))) < 1e-7
+        return poses, points, lam, it + 1, done
+
+    def cond(state):
+        return (state[3] < iters) & (~state[4])
+
+    poses, points, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (poses0, points0, jnp.asarray(1e-4, poses0.dtype), jnp.asarray(0), jnp.asarray(False)),
+    )
+    return poses, points
+
+
+def _classify_ol(poses, points, prob: BAProblemOL, cam: Camera):
+    e, pc, stereo = _residuals_ol(poses, points, prob, cam)
+    e2 = jnp.sum(e[:2] ** 2, 0)
+    chi2 = jnp.where(stereo, e2 + e[2] ** 2, e2) * prob.o_inv_sigma2
     gate = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
-    return prob.o_valid & (chi2 <= gate) & (pc[:, 2] > 0)
+    return prob.o_valid & (chi2 <= gate) & (pc[2] > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
@@ -328,17 +528,18 @@ def local_bundle_adjust(
     inv_level_sigma2: jnp.ndarray | None = None,
 ) -> MapState:
     """Run windowed local BA around center_kf and write results into the map."""
-    prob = build_problem(m, center_kf, caps, inv_level_sigma2)
+    prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
 
     # pass 1: Huber, 5 iters (optimizer_ceres.cpp:597-607)
     wk = min(W_KF, m.kf_valid.shape[0])
-    poses, points = _lm_pass(poses, points, prob, cam, prob.o_valid, True, 5, wk)
-    inl = _classify_obs(poses, points, prob, cam)
+    lm_pass = _lm_pass_pallas if jax.default_backend() == "tpu" else _lm_pass_ol
+    poses, points = lm_pass(poses, points, prob, cam, prob.o_valid, True, 5, wk)
+    inl = _classify_ol(poses, points, prob, cam)
     # pass 2: inliers only, 10 iters, no loss (:659-668)
-    poses, points = _lm_pass(poses, points, prob, cam, inl, False, 10, wk)
-    final_inl = _classify_obs(poses, points, prob, cam)
+    poses, points = lm_pass(poses, points, prob, cam, inl, False, 10, wk)
+    final_inl = _classify_ol(poses, points, prob, cam)
 
     # ---- write back window poses + point positions -------------------------
     win_ok = (prob.kf_ids >= 0) & (~prob.kf_fixed)
@@ -346,48 +547,42 @@ def local_bundle_adjust(
     new_poses = jnp.where(win_ok[:, None, None], lie.orthonormalize(poses), m.kf_pose[kf_rows])
     m = m.replace(kf_pose=m.kf_pose.at[kf_rows].set(new_poses))
 
+    P = m.pt_valid.shape[0]
     pt_ok = prob.pt_ids >= 0
-    pt_rows = jnp.where(pt_ok, prob.pt_ids, m.pt_valid.shape[0] - 1)
+    pt_rows = jnp.where(pt_ok, prob.pt_ids, P - 1)
     new_pts = jnp.where(pt_ok[:, None], points, m.pt_pos[pt_rows])
     m = m.replace(pt_pos=m.pt_pos.at[pt_rows].set(new_pts))
 
     # ---- erase outlier observations (:757-789) ----------------------------
-    bad = prob.o_valid & ~final_inl
-    kf_global = prob.kf_ids[jnp.maximum(prob.o_kf, 0)]
-    pt_global = prob.pt_ids[jnp.maximum(prob.o_pt, 0)]
-    kp_of_obs = _obs_kp_lookup(m, kf_global, pt_global, bad)
+    # o_col maps each BA slot back to its pt_obs column, so no lookup needed
+    bad = (prob.o_valid & ~final_inl).T                 # [L,O_BA]
     K = m.kf_valid.shape[0]
     N = m.kf_mp.shape[1]
+    O = m.pt_obs_kf.shape[1]
+    kf_global = prob.kf_ids[jnp.maximum(prob.o_slot, 0)].T  # [L,O_BA]
+    kp_t = prob.o_kp.T
+    col_t = prob.o_col.T
     kf_w = jnp.where(bad, kf_global, K - 1)
-    kp_w = jnp.where(bad, kp_of_obs, N - 1)
+    kp_w = jnp.where(bad, kp_t, N - 1)
     kf_mp = m.kf_mp.at[kf_w, kp_w].set(jnp.where(bad, -1, m.kf_mp[kf_w, kp_w]))
     m = m.replace(kf_mp=kf_mp)
-    # remove from the point's observer list
-    O = m.pt_obs_kf.shape[1]
-    match = (m.pt_obs_kf[jnp.maximum(pt_global, 0)] == kf_global[:, None]) & bad[:, None]
-    slot = jnp.argmax(match, axis=1)
-    has = jnp.any(match, axis=1)
-    prow = jnp.where(has, pt_global, m.pt_valid.shape[0] - 1)
-    pcol = jnp.where(has, slot, O - 1)
+
+    pid = jnp.maximum(prob.pt_ids, 0)
+    prow = jnp.where(bad, pid[:, None], P - 1)
+    pcol = jnp.where(bad, col_t, O - 1)
     m = m.replace(
-        pt_obs_kf=m.pt_obs_kf.at[prow, pcol].set(jnp.where(has, -1, m.pt_obs_kf[prow, pcol])),
-        pt_obs_kp=m.pt_obs_kp.at[prow, pcol].set(jnp.where(has, -1, m.pt_obs_kp[prow, pcol])),
-        pt_obs_cnt=m.pt_obs_cnt.at[jnp.where(has, pt_global, m.pt_valid.shape[0] - 1)].add(
-            jnp.where(has, -1, 0)
+        pt_obs_kf=m.pt_obs_kf.at[prow, pcol].set(
+            jnp.where(bad, -1, m.pt_obs_kf[prow, pcol])
+        ),
+        pt_obs_kp=m.pt_obs_kp.at[prow, pcol].set(
+            jnp.where(bad, -1, m.pt_obs_kp[prow, pcol])
+        ),
+        pt_obs_cnt=m.pt_obs_cnt.at[pid].add(
+            -jnp.sum(bad.astype(jnp.int32), axis=1)
         ),
     )
-    # obs<=2 -> point erased... only for points whose obs was touched
-    # (mappoint.cpp:353: auto-erase at obs<=2 after an erase)
-    touched = jnp.zeros((m.pt_valid.shape[0],), bool).at[jnp.maximum(pt_global, 0)].max(has)
+    # obs<=2 -> point erased, only for touched points (mappoint.cpp:353)
+    touched = jnp.zeros((P,), bool).at[pid].max(jnp.any(bad, axis=1))
     low = touched & (m.pt_obs_cnt <= 2)
     m = m.replace(pt_valid=m.pt_valid & ~low)
     return m
-
-
-def _obs_kp_lookup(m: MapState, kf_global, pt_global, mask):
-    """Find the keypoint index of (kf, point) from the observer lists."""
-    safe_pt = jnp.maximum(pt_global, 0)
-    hit = (m.pt_obs_kf[safe_pt] == kf_global[:, None]) & mask[:, None]
-    slot = jnp.argmax(hit, axis=1)
-    kp = jnp.take_along_axis(m.pt_obs_kp[safe_pt], slot[:, None], axis=1)[:, 0]
-    return jnp.where(jnp.any(hit, axis=1), kp, 0)
