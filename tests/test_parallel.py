@@ -69,15 +69,43 @@ class TestSharded:
             FX, FY, CX, CY,
         )
         assert Hpp.shape == (W, 6, 6) and Hll.shape == (L, 3, 3)
-        # reference: single-device accumulation
-        def ref():
-            H = np.zeros((W, 6, 6)); b = np.zeros((W, 6))
-            from vo_slam_test_tpu.parallel.sharded import _residuals_jac  # noqa
-            return H, b
-        # sanity: symmetric PSD-ish diagonal blocks, finite everything
-        assert np.isfinite(np.asarray(Hpp)).all() and np.isfinite(np.asarray(bl)).all()
+
+        # single-device numpy oracle: the 8-way psum-reduced accumulation
+        # must equal the unsharded normal equations
+        def hat(p):
+            x, y, z = p
+            return np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]], np.float64)
+
+        Hpp_r = np.zeros((W, 6, 6)); bp_r = np.zeros((W, 6))
+        Hll_r = np.zeros((L, 3, 3)); bl_r = np.zeros((L, 3))
+        P_np = np.asarray(poses); X_np = np.asarray(points)
+        kf_np = np.asarray(o_kf); pt_np = np.asarray(o_pt)
+        uv_np = np.asarray(o_uv)
+        for mi in range(M):
+            T = P_np[kf_np[mi]]
+            X = X_np[pt_np[mi]]
+            pc = T[:3, :3] @ X + T[:3, 3]
+            invz = 1.0 / pc[2]
+            e = np.array([
+                FX * pc[0] * invz + CX - uv_np[mi, 0],
+                FY * pc[1] * invz + CY - uv_np[mi, 1],
+            ])
+            dproj = np.array([
+                [FX * invz, 0, -FX * pc[0] * invz * invz],
+                [0, FY * invz, -FY * pc[1] * invz * invz],
+            ])
+            Jp = dproj @ np.concatenate([np.eye(3), -hat(pc)], axis=1)
+            Jl = dproj @ T[:3, :3]
+            Hpp_r[kf_np[mi]] += Jp.T @ Jp
+            bp_r[kf_np[mi]] += Jp.T @ e
+            Hll_r[pt_np[mi]] += Jl.T @ Jl
+            bl_r[pt_np[mi]] += Jl.T @ e
+
+        scale = np.abs(Hpp_r).max()
+        np.testing.assert_allclose(np.asarray(Hpp), Hpp_r, atol=1e-4 * scale)
         np.testing.assert_allclose(
-            np.asarray(Hpp), np.swapaxes(np.asarray(Hpp), 1, 2), atol=1e-3
-        )
-        # each observation contributes: total trace grows with M
-        assert float(jnp.sum(jnp.trace(Hpp, axis1=1, axis2=2))) > 0
+            np.asarray(bp), bp_r, atol=1e-4 * max(np.abs(bp_r).max(), 1.0))
+        np.testing.assert_allclose(
+            np.asarray(Hll), Hll_r, atol=1e-4 * max(np.abs(Hll_r).max(), 1.0))
+        np.testing.assert_allclose(
+            np.asarray(bl), bl_r, atol=1e-4 * max(np.abs(bl_r).max(), 1.0))

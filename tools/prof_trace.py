@@ -20,8 +20,16 @@ m = s.map
 kid = jnp.asarray(int(np.asarray(m.n_kf)) - 1, jnp.int32)
 caps, cam, sf = s.caps, s.camera, s.scale_factors
 ils2 = 1.0 / (sf * sf)
+from vo_slam_test_tpu.slam_map import fuse, culling
+import sys as _sys
+target = _sys.argv[1] if len(_sys.argv) > 1 else "ba"
 _copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
-f_ba = jax.jit(lambda mm: local_ba.local_bundle_adjust(mm, kid, caps, cam, ils2))
+if target == "fuse":
+    f_ba = jax.jit(lambda mm: fuse.search_in_neighbors(mm, kid, caps, cam, sf))
+elif target == "cullkf":
+    f_ba = jax.jit(lambda mm: culling.cull_keyframes(mm, kid, caps, cam))
+else:
+    f_ba = jax.jit(lambda mm: local_ba.local_bundle_adjust(mm, kid, caps, cam, ils2))
 r = f_ba(_copy(m)); jax.tree.leaves(r)[0].block_until_ready()
 
 td = "/tmp/batrace"

@@ -124,3 +124,78 @@ def sharded_ba_normal_equations(mesh: Mesh, n_window: int, n_points: int):
             out_specs=(P(), P(), P(), P()),
         )
     )
+
+
+def sharded_ba_schur_step(mesh: Mesh, n_window: int, n_points: int, lam: float = 1e-4):
+    """One FULL distributed BA Gauss-Newton step: observation-sharded
+    accumulation of (Hpp, bp, Hll, bl, cross terms) psum-reduced over ICI,
+    then the replicated dense Schur solve and pose/point update — the
+    end-to-end pattern solvers/local_ba.py scales with.
+
+    Returns jitted fn(poses [W,4,4], points [L,3], o_kf [M], o_pt [M],
+    o_uv [M,2], o_w [M], fx, fy, cx, cy) -> (poses', points')."""
+
+    def step(poses, points, o_kf, o_pt, o_uv, o_w, fx, fy, cx, cy):
+        kf = jnp.maximum(o_kf, 0)
+        pt = jnp.maximum(o_pt, 0)
+        T = poses[kf]
+        X = points[pt]
+        pc = jnp.einsum("mij,mj->mi", T[:, :3, :3], X) + T[:, :3, 3]
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        invz = 1.0 / z
+        u = fx * pc[:, 0] * invz + cx
+        v = fy * pc[:, 1] * invz + cy
+        e = jnp.stack([u - o_uv[:, 0], v - o_uv[:, 1]], -1)
+        zero = jnp.zeros_like(z)
+        du = jnp.stack([fx * invz, zero, -fx * pc[:, 0] * invz * invz], -1)
+        dv = jnp.stack([zero, fy * invz, -fy * pc[:, 1] * invz * invz], -1)
+        dproj = jnp.stack([du, dv], -2)
+        dpc = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)), -lie.hat(pc)], -1
+        )
+        Jp = dproj @ dpc
+        Jl = dproj @ T[:, :3, :3]
+        w = o_w * (o_kf >= 0) * (o_pt >= 0)
+        seg = lambda vals, ids, n: jax.lax.psum(
+            jax.ops.segment_sum(vals, ids, num_segments=n), "obs"
+        )
+        Hpp = seg(w[:, None, None] * jnp.einsum("mri,mrj->mij", Jp, Jp), kf, n_window)
+        bp = seg(w[:, None] * jnp.einsum("mri,mr->mi", Jp, e), kf, n_window)
+        Hll = seg(w[:, None, None] * jnp.einsum("mri,mrj->mij", Jl, Jl), pt, n_points)
+        bl = seg(w[:, None] * jnp.einsum("mri,mr->mi", Jl, e), pt, n_points)
+        cross = w[:, None, None] * jnp.einsum("mri,mrj->mij", Jp, Jl)  # [M,6,3]
+        Wc = jax.lax.psum(
+            jnp.zeros((n_window, n_points, 6, 3)).at[kf, pt].add(cross), "obs"
+        )
+
+        # replicated Schur solve (tiny): S dx = rhs, back-substitute points
+        Hll_d = Hll + lam * jnp.eye(3)[None]
+        Hll_inv = jnp.linalg.inv(Hll_d)
+        WHinv = jnp.einsum("wpij,pjl->wpil", Wc, Hll_inv)
+        S = -jnp.einsum("wpil,vpml->wivm", WHinv, Wc)
+        S = S.at[jnp.arange(n_window), :, jnp.arange(n_window), :].add(
+            Hpp + lam * jnp.eye(6)[None]
+        )
+        rhs = bp - jnp.einsum("wpil,pl->wi", WHinv, bl)
+        # gauge: pin the first pose with a large diagonal boost BEFORE the
+        # solve (the global gauge freedom otherwise makes S singular)
+        S = S.at[0, :, 0, :].add(1e8 * jnp.eye(6))
+        Sd = S.reshape(n_window * 6, n_window * 6) + 1e-8 * jnp.eye(n_window * 6)
+        dx_pose = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(n_window, 6)
+        dx_pose = dx_pose.at[0].set(0.0)
+        Wt_dx = jnp.einsum("wpil,wi->pl", Wc, dx_pose)
+        dx_pt = -jnp.einsum("pij,pj->pi", Hll_inv, bl + Wt_dx)
+
+        poses_new = jax.vmap(lie.orthonormalize)(
+            jax.vmap(lie.se3_exp)(dx_pose) @ poses
+        )
+        return poses_new, points + dx_pt
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), P(), P("obs"), P("obs"), P("obs"), P("obs"), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+        )
+    )

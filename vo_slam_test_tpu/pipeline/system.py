@@ -53,11 +53,14 @@ from ..solvers import local_ba, pose_only, ransac
 from . import loop_closing
 from .tracking import TrackStats, _spawn_temp_points
 
-RELOC_K = 3  # BoW relocalization candidates evaluated per lost frame
+RELOC_K = 3     # BoW relocalization candidates evaluated per lost frame
+DRAIN_CHUNK = 8  # frames between loop-candidate readbacks (host sync cost)
 
 
 @struct.dataclass
 class SlamTrackState:
+    frame_id: jnp.ndarray       # i32 device-resident frame counter (avoids a
+                                # per-frame host->device scalar transfer)
     feats: FrameFeatures        # last frame features
     assign_real: jnp.ndarray    # [N] i32 map-point id per last-frame kp (-1)
     T_cr: jnp.ndarray           # [4,4] last frame pose relative to its ref KF
@@ -76,6 +79,7 @@ class SlamOut:
     T_c_w: jnp.ndarray
     T_cr: jnp.ndarray
     ref_kf: jnp.ndarray
+    ref_gen: jnp.ndarray        # kf_gen of ref_kf at track time (slot reuse)
     ok: jnp.ndarray
     n_features: jnp.ndarray
     n_matches: jnp.ndarray
@@ -124,9 +128,9 @@ def slam_step(
     state: SlamTrackState,
     m: MapState,
     gray: jnp.ndarray,
-    depth_img: jnp.ndarray,
+    depth_raw: jnp.ndarray,
     timestamp,
-    frame_id,
+    depth_scale,
     cam: Camera,
     caps: MapCaps,
     spec,
@@ -139,6 +143,12 @@ def slam_step(
     voc: Optional[bow_voc.Vocabulary],
     use_bow: bool,
 ):
+    frame_id = state.frame_id
+    # u16 depth uploads at half the f32 bytes; metric scaling happens here
+    if jnp.issubdtype(depth_raw.dtype, jnp.integer):
+        depth_img = depth_raw.astype(jnp.float32) * (1.0 / depth_scale)
+    else:
+        depth_img = depth_raw
     feats = extract_fused(gray, depth_img, cam, spec, budgets, fast_hi, fast_lo)
     n_feats = jnp.sum(feats.valid.astype(jnp.int32))
     N = caps.n_feat
@@ -167,6 +177,7 @@ def slam_step(
     def init_branch(m):
         m2, kf_id = insert_kf(m, eye, jnp.full((N,), -1, jnp.int32))
         st = SlamTrackState(
+            frame_id=frame_id + 1,
             feats=feats, assign_real=m2.kf_mp[kf_id], T_cr=eye, ref_kf=kf_id,
             T_cl=eye, motion_valid=jnp.asarray(False), initialized=jnp.asarray(True),
             lost=jnp.asarray(False),
@@ -175,7 +186,8 @@ def slam_step(
             last_reloc_frame=state.last_reloc_frame,
         )
         out = SlamOut(
-            T_c_w=eye, T_cr=eye, ref_kf=kf_id, ok=jnp.asarray(True),
+            T_c_w=eye, T_cr=eye, ref_kf=kf_id, ref_gen=m2.kf_gen[kf_id],
+            ok=jnp.asarray(True),
             n_features=n_feats, n_matches=jnp.asarray(0, jnp.int32),
             n_inliers=jnp.asarray(0, jnp.int32), made_kf=jnp.asarray(True),
             relocalized=jnp.asarray(False),
@@ -496,7 +508,10 @@ def slam_step(
         track_verify = (ref_ratio < ref_threshold) | (map_ratio < map_threshold)
         need_kf = ok & (track_weak | ref_weak | track_verify)
         need_kf &= ~((frame_id < reloc_frame + max_frame_gap) & (kf_cnt > max_frame_gap))
-        need_kf &= m.n_kf < caps.max_kf
+        # capacity: bump allocation until the high-water mark, then slot
+        # reuse — culling keeps freeing rows, so insertion never stops
+        # permanently (the round-1 cap froze KF creation at max_kf inserts)
+        need_kf &= (m.n_kf < caps.max_kf) | jnp.any(~m.kf_valid)
 
         m, new_kf = jax.lax.cond(
             need_kf,
@@ -511,6 +526,7 @@ def slam_step(
         T_cl = jnp.where(ok, T_new @ lie.se3_inverse(T_last), eye)
 
         st = SlamTrackState(
+            frame_id=frame_id + 1,
             feats=feats, assign_real=assign_out, T_cr=T_cr, ref_kf=ref_kf_out,
             T_cl=T_cl, motion_valid=ok, initialized=jnp.asarray(True),
             lost=~ok,
@@ -519,7 +535,8 @@ def slam_step(
             last_reloc_frame=reloc_frame,
         )
         out = SlamOut(
-            T_c_w=T_new, T_cr=T_cr, ref_kf=ref_kf_out, ok=ok,
+            T_c_w=T_new, T_cr=T_cr, ref_kf=ref_kf_out,
+            ref_gen=m.kf_gen[jnp.maximum(ref_kf_out, 0)], ok=ok,
             n_features=n_feats, n_matches=att.n_match,
             n_inliers=observed_inliers, made_kf=need_kf, relocalized=relocalized,
         )
@@ -559,6 +576,55 @@ def mapping_step(
     return jax.lax.cond(did_kf & (kf_id >= 0), work, lambda m: m, m)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("caps", "spec", "budgets", "use_bow", "with_loop"),
+    # only the map is donated: empty-state pytrees legitimately alias
+    # buffers between fields (e.g. identity poses), which XLA rejects as
+    # double donation
+    donate_argnums=(1,),
+)
+def slam_full_step(
+    state: SlamTrackState,
+    m: MapState,
+    loop_state,
+    gray: jnp.ndarray,
+    depth_raw: jnp.ndarray,
+    timestamp,
+    depth_scale,
+    cam: Camera,
+    caps: MapCaps,
+    spec,
+    budgets,
+    scale_factors: jnp.ndarray,
+    inv_level_sigma2: jnp.ndarray,
+    fast_hi: float,
+    fast_lo: float,
+    max_frame_gap: int,
+    voc,
+    use_bow: bool,
+    with_loop: bool,
+):
+    """Tracking + mapping (+ loop detection) as ONE dispatch per frame.
+
+    Separate slam_step/mapping_step/detect_step dispatches each pay the
+    host-runtime round trip; fusing them into one program removes two of
+    the three per-frame dispatches (the inner jits inline under tracing)."""
+    state, m, out = slam_step(
+        state, m, gray, depth_raw, timestamp, depth_scale, cam, caps, spec,
+        budgets, scale_factors, inv_level_sigma2, fast_hi, fast_lo,
+        max_frame_gap, voc, use_bow,
+    )
+    m = mapping_step(m, out.made_kf, out.ref_kf, caps, cam, scale_factors)
+    if with_loop:
+        loop_state, cand = loop_closing.detect_step(
+            m, loop_state, out.made_kf, out.ref_kf, caps
+        )
+    else:
+        cand = jnp.asarray(-1, jnp.int32)
+    return state, m, loop_state, out, cand
+
+
 class SlamSystem:
     """Tracking + (synchronous lite) mapping over an RGB-D stream."""
 
@@ -585,6 +651,7 @@ class SlamSystem:
         self.max_frame_gap = int(cfg.camera_fps)
         self.voc = vocabulary
         self.use_bow = vocabulary is not None
+        self._depth_scale = jnp.asarray(cfg.camera_depthScale, jnp.float32)
 
         self.map = empty_map(caps)
         self.state = self._empty_state()
@@ -610,6 +677,7 @@ class SlamSystem:
         )
         eye = jnp.eye(4, dtype=jnp.float32)
         return SlamTrackState(
+            frame_id=jnp.asarray(0, jnp.int32),
             feats=feats, assign_real=jnp.full((N,), -1, jnp.int32),
             T_cr=eye, ref_kf=jnp.asarray(0, jnp.int32), T_cl=eye,
             motion_valid=jnp.asarray(False), initialized=jnp.asarray(False),
@@ -620,37 +688,43 @@ class SlamSystem:
         )
 
     def track(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> None:
-        gray_d = jax.device_put(jnp.asarray(gray))
-        depth_d = jax.device_put(jnp.asarray(depth, dtype=jnp.float32))
-        self.state, self.map, out = slam_step(
-            self.state, self.map, gray_d, depth_d,
-            jnp.asarray(timestamp, jnp.float32), jnp.asarray(self._frame_id, jnp.int32),
+        """depth: f32 meters OR u16 raw (scaled by depth_scale on device —
+        halves the per-frame upload). All per-frame inputs go straight into
+        the jit dispatch (no eager converts); the frame counter lives in
+        device state."""
+        self.state, self.map, self.loop_state, out, cand = slam_full_step(
+            self.state, self.map, self.loop_state,
+            np.ascontiguousarray(gray), depth,
+            jnp.asarray(timestamp, jnp.float32), self._depth_scale,
             self.camera, self.caps, self.spec, self.budgets,
             self.scale_factors, self.inv_level_sigma2,
             self.fast_hi, self.fast_lo, self.max_frame_gap,
-            self.voc, self.use_bow,
-        )
-        self.map = mapping_step(
-            self.map, out.made_kf, out.ref_kf, self.caps, self.camera, self.scale_factors
+            self.voc, self.use_bow, self.enable_loop_closing,
         )
         if self.enable_loop_closing:
-            self.loop_state, cand = loop_closing.detect_step(
-                self.map, self.loop_state, out.made_kf, out.ref_kf, self.caps
-            )
             self._pending_loop.append((self._frame_id, cand, out.ref_kf))
-            self._drain_loop_queue()
+            if len(self._pending_loop) >= DRAIN_CHUNK:
+                self._drain_loop_queue()
         self._outs.append(out)
         self.timestamps.append(timestamp)
         self._frame_id += 1
 
     def _drain_loop_queue(self, final: bool = False) -> None:
-        """Check past loop detections (lagging one frame to avoid stalling
-        the stream) and run the heavy Sim3-verification/correction step for
-        confirmed candidates — the async analogue of the reference's
-        LoopClosing thread."""
-        while self._pending_loop and (final or len(self._pending_loop) > 1):
-            frame_idx, cand, kf_id = self._pending_loop.pop(0)
-            cand_i = int(np.asarray(cand))
+        """Check past loop detections and run the heavy Sim3-verification/
+        correction step for confirmed candidates — the async analogue of
+        the reference's LoopClosing thread.
+
+        Candidates are fetched in DRAIN_CHUNK batches: a per-frame scalar
+        readback costs a full device round trip on a tunneled runtime
+        (measured ~20 ms/frame), while a confirmed loop candidate is rare.
+        Loop closure therefore lags up to DRAIN_CHUNK frames — like the
+        reference's queue-fed LoopClosing thread (loopClosing.cpp:17-37)."""
+        if not self._pending_loop:
+            return
+        batch = self._pending_loop
+        self._pending_loop = []
+        cands = np.asarray(jnp.stack([c for _, c, _ in batch])).tolist()
+        for (frame_idx, _, kf_id), cand_i in zip(batch, cands):
             if cand_i < 0:
                 continue
             g_curr = bow_voc.feature_groups(self.voc, self.map.kf_word[jnp.maximum(kf_id, 0)])
@@ -676,18 +750,24 @@ class SlamSystem:
         outs = jax.device_get(self._outs)
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
-        parent = np.asarray(self.map.parent)
+        kf_gen = np.asarray(self.map.kf_gen)
+        cull_parent = np.asarray(self.map.cull_parent)
         kf_tcp = np.asarray(self.map.kf_tcp)
         traj, stats = [], []
         for o in outs:
             ref = int(o.ref_kf)
+            gen = int(o.ref_gen)
             T_cr = np.asarray(o.T_cr)
-            # bad-KF recovery through the Tcp parent chain (vo_run.cpp:207-226)
+            # bad-KF recovery through the Tcp parent chain (vo_run.cpp:207-226).
+            # A slot whose generation advanced was culled and REUSED: the
+            # archived (kf_tcp, cull_parent) pair still describes the culled
+            # generation, so the walk continues through it.
             T_rp = np.eye(4, dtype=np.float32)
             hops = 0
-            while ref >= 0 and not kf_valid[ref] and hops < 64:
+            while ref >= 0 and (not kf_valid[ref] or kf_gen[ref] != gen) and hops < 64:
                 T_rp = T_rp @ kf_tcp[ref]
-                ref = int(parent[ref])
+                ref = int(cull_parent[ref])
+                gen = -1 if ref < 0 else int(kf_gen[ref])  # accept the live gen
                 hops += 1
             if ref >= 0 and kf_valid[ref]:
                 T_c_w = T_cr @ T_rp @ kf_pose[ref]

@@ -142,5 +142,10 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
         covis=jnp.where(cull[:, None] | cull[None, :], 0, m.covis),
         parent=new_parent,
         kf_tcp=kf_tcp,
+        # archive the cull-time parent alongside kf_tcp: the live parent
+        # array mutates (reparenting, slot reuse) but trajectory recovery
+        # through a culled keyframe needs the chain as it was at cull time
+        cull_parent=jnp.where(cull, parent, m.cull_parent),
+        loop_edges=m.loop_edges & ~cull[:, None] & ~cull[None, :],
     )
     return m

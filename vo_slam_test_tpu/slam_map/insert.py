@@ -24,6 +24,27 @@ from ..ops import hamming
 from .map_state import MapCaps, MapState, add_observations, covis_row_for
 
 
+def allocate_point_slots(m: MapState, want: jnp.ndarray) -> jnp.ndarray:
+    """want [n] bool -> point slot ids [n] (-1 when the map is full).
+
+    The r-th requested slot gets the r-th invalid row — culled rows are
+    recycled (the reference's map is unbounded with erase protocols,
+    mappoint.cpp:214-381; fixed shapes recycle instead). Row P-1 stays
+    reserved as the scatter dump target."""
+    P = m.pt_valid.shape[0]
+    n = want.shape[0]
+    free = (~m.pt_valid).at[P - 1].set(False)
+    fpos = jnp.cumsum(free.astype(jnp.int32)) - 1
+    table = (
+        jnp.full((n + 1,), -1, jnp.int32)
+        .at[jnp.where(free & (fpos < n), fpos, n)]
+        .set(jnp.arange(P, dtype=jnp.int32))[:n]
+    )
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    ids = table[jnp.clip(rank, 0, n - 1)]
+    return jnp.where(want, ids, -1)
+
+
 def spawn_mask_depth_sorted(feats: FrameFeatures, already_real: jnp.ndarray, th_depth) -> jnp.ndarray:
     """Which keypoints spawn new map points at KF creation.
 
@@ -58,12 +79,20 @@ def insert_keyframe(
     """Returns (new map, kf_id)."""
     N = caps.n_feat
     P = caps.max_pt
-    kf_id = m.n_kf
+    K = m.kf_valid.shape[0]
+    # slot lifecycle: bump-allocate until the capacity high-water mark, then
+    # reuse the lowest culled slot (the reference map is unbounded,
+    # map.h:16-17; fixed shapes recycle instead). kf_gen disambiguates
+    # reused slots for trajectory recovery.
+    first_free = jnp.argmax(~m.kf_valid).astype(jnp.int32)
+    kf_id = jnp.where(m.n_kf < K, jnp.minimum(m.n_kf, K - 1), first_free)
 
     # ---- keyframe record ---------------------------------------------------
     m = m.replace(
         kf_pose=m.kf_pose.at[kf_id].set(T_c_w),
         kf_valid=m.kf_valid.at[kf_id].set(True),
+        kf_gen=m.kf_gen.at[kf_id].add(1),
+        loop_edges=m.loop_edges.at[kf_id, :].set(False).at[:, kf_id].set(False),
         kf_timestamp=m.kf_timestamp.at[kf_id].set(timestamp),
         kf_frame_id=m.kf_frame_id.at[kf_id].set(frame_id),
         kf_uv_und=m.kf_uv_und.at[kf_id].set(feats.uv_und),
@@ -83,9 +112,8 @@ def insert_keyframe(
 
     # ---- spawn new points --------------------------------------------------
     create = create_mask & feats.valid & (assign < 0)
-    new_off = jnp.cumsum(create.astype(jnp.int32)) - 1
-    new_ids = m.n_pt + new_off
-    in_cap = create & (new_ids < P)
+    new_ids = allocate_point_slots(m, create)
+    in_cap = create & (new_ids >= 0)
     new_ids_safe = jnp.where(in_cap, new_ids, P - 1)
 
     T_w_c = lie.se3_inverse(T_c_w)
@@ -112,7 +140,7 @@ def insert_keyframe(
         pt_valid=m.pt_valid.at[new_ids_safe].set(jnp.where(in_cap, True, m.pt_valid[new_ids_safe])),
         pt_found=m.pt_found.at[new_ids_safe].set(jnp.where(in_cap, 1, m.pt_found[new_ids_safe])),
         pt_visible=m.pt_visible.at[new_ids_safe].set(jnp.where(in_cap, 1, m.pt_visible[new_ids_safe])),
-        n_pt=jnp.minimum(m.n_pt + jnp.sum(create.astype(jnp.int32)), P),
+        n_pt=jnp.minimum(m.n_pt + jnp.sum(in_cap.astype(jnp.int32)), P),
     )
 
     # ---- kf_mp row + observations -----------------------------------------
@@ -128,7 +156,10 @@ def insert_keyframe(
     m = m.replace(covis=m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w))
     best = jnp.argmax(w).astype(jnp.int32)
     parent = jnp.where((w[best] > 0) & (kf_id > 0), best, -1)
-    m = m.replace(parent=m.parent.at[kf_id].set(parent), n_kf=m.n_kf + 1)
+    m = m.replace(
+        parent=m.parent.at[kf_id].set(parent),
+        n_kf=jnp.minimum(m.n_kf + 1, jnp.int32(m.kf_valid.shape[0])),
+    )
 
     # ---- refresh normals/depth/descriptor of touched pre-existing points --
     touched = jnp.zeros((P,), bool).at[jnp.maximum(assign, 0)].max(assign >= 0)

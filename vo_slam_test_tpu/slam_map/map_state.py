@@ -63,7 +63,15 @@ class MapState:
     covis: jnp.ndarray         # [K,K] i32 shared-point counts
     parent: jnp.ndarray        # [K] i32 spanning-tree parent (-1 root)
     kf_tcp: jnp.ndarray        # [K,4,4] pose relative to parent at cull time
-                               # (keyframe.cpp:486 Tcp backup for recovery)
+                               # (keyframe.cpp:486 Tcp backup for recovery;
+                               # NOT reset on slot reuse — it archives the
+                               # last culled generation for trajectory
+                               # recovery)
+    cull_parent: jnp.ndarray   # [K] i32 spanning-tree parent at cull time
+                               # (paired with kf_tcp; survives slot reuse)
+    kf_gen: jnp.ndarray        # [K] i32 slot generation (bumped on insert;
+                               # distinguishes a reused slot from the
+                               # keyframe a frame originally referenced)
     loop_edges: jnp.ndarray    # [K,K] bool loop-closure edges (keyframe.cpp:528-533)
     # -- map points (mappoint.h:13-94) --------------------------------------
     pt_pos: jnp.ndarray        # [P,3] f32
@@ -105,6 +113,8 @@ def empty_map(caps: MapCaps) -> MapState:
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), -1, jnp.int32),
         kf_tcp=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+        cull_parent=jnp.full((K,), -1, jnp.int32),
+        kf_gen=f((K,), jnp.int32),
         loop_edges=f((K, K), bool),
         pt_pos=f((P, 3)),
         pt_normal=f((P, 3)),

@@ -238,10 +238,11 @@ def create_new_map_points(
     sf = 1.5 * scale_factors[1]
     ok &= ~((ratio_d * sf < ratio_s) | (ratio_d > ratio_s * sf))
 
-    # ---- allocate + write new points --------------------------------------
-    new_off = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    new_ids = m.n_pt + new_off
-    in_cap = ok & (new_ids < P)
+    # ---- allocate + write new points (recycling culled slots) -------------
+    from .insert import allocate_point_slots
+
+    new_ids = allocate_point_slots(m, ok)
+    in_cap = ok & (new_ids >= 0)
     rows = jnp.where(in_cap, new_ids, P - 1)
 
     line = p3d - ow1[None]
@@ -259,7 +260,7 @@ def create_new_map_points(
         pt_valid=m.pt_valid.at[rows].set(jnp.where(in_cap, True, m.pt_valid[rows])),
         pt_found=m.pt_found.at[rows].set(jnp.where(in_cap, 1, m.pt_found[rows])),
         pt_visible=m.pt_visible.at[rows].set(jnp.where(in_cap, 1, m.pt_visible[rows])),
-        n_pt=jnp.minimum(m.n_pt + jnp.sum(ok.astype(jnp.int32)), P),
+        n_pt=jnp.minimum(m.n_pt + jnp.sum(in_cap.astype(jnp.int32)), P),
     )
 
     # bind keypoints in both keyframes + observations
