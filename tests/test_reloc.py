@@ -11,6 +11,8 @@ from vo_slam_test_tpu.frontend.extractor import OrbExtractor
 from vo_slam_test_tpu.pipeline.system import SlamSystem
 from vo_slam_test_tpu.slam_map.map_state import MapCaps
 
+pytestmark = pytest.mark.slow  # multi-minute: full SlamSystem compiles
+
 
 def make_cfg(seq):
     return SlamConfig(
@@ -163,3 +165,25 @@ class TestRelocalization:
             g, d, ts = seq[i]
             sys_.track(g, d, ts)
         assert sys_.reloc_frames == []
+
+    def test_vocabulary_includes_lost_frame_descriptors(self):
+        """Lost frames with real texture contribute their descriptors to
+        vocabulary creation (map.cpp:79-83): the system loses tracking on a
+        textured frame from a DIFFERENT scene, and that frame's descriptors
+        must appear in the vocabulary build set."""
+        seq = SyntheticRGBD(n_frames=4, seed=33, motion_scale=0.3)
+        sys_ = SlamSystem(make_cfg(seq), caps=MapCaps(max_kf=16, max_pt=4096))
+        for i in range(3):
+            g, d, ts = seq[i]
+            sys_.track(g, d, ts)
+        # a textured frame from an unrelated scene -> lost, but has features
+        other = SyntheticRGBD(n_frames=2, seed=77, motion_scale=2.5)
+        g2, d2, _ = other[1]
+        sys_.track(g2, d2, 99.0)
+        _, stats, _ = sys_.results()
+        assert not stats[3].ok  # genuinely lost
+        kf_descs, lost_descs = sys_._vocabulary_descriptors()
+        assert len(lost_descs) >= 1
+        assert sum(d.shape[0] for d in lost_descs) > 100
+        voc = sys_.create_vocabulary(k=6, levels=2)
+        assert voc is not None

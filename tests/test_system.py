@@ -9,6 +9,8 @@ from vo_slam_test_tpu.datasets.tum import ate_rmse
 from vo_slam_test_tpu.pipeline.system import SlamSystem
 from vo_slam_test_tpu.slam_map.map_state import MapCaps
 
+pytestmark = pytest.mark.slow  # multi-minute: full SlamSystem compiles
+
 
 def make_cfg(seq):
     return SlamConfig(

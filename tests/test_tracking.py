@@ -8,6 +8,8 @@ from vo_slam_test_tpu.datasets import SyntheticRGBD
 from vo_slam_test_tpu.datasets.tum import ate_rmse
 from vo_slam_test_tpu.pipeline.tracking import FrameToFrameTracker, FusedTracker
 
+pytestmark = pytest.mark.slow  # multi-minute: full SlamSystem compiles
+
 
 def make_cfg(seq):
     return SlamConfig(

@@ -37,7 +37,9 @@ if _os.environ.get("VO_SLAM_TPU_NO_PRECISION_OVERRIDE", "0") != "1":
 # silently wrong numerics when loaded here (cpu_aot_loader feature
 # mismatch) — anything forcing jax_platforms=cpu must disable the cache
 # (tests/conftest.py does).
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not _jax.config.jax_compilation_cache_dir:
+    # respect a cache dir configured before import (tests/conftest.py
+    # points at a dedicated CPU-local dir for correct CPU numerics)
     _cache = _os.path.expanduser("~/.cache/jax_vo_slam_tpu")
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)

@@ -46,13 +46,18 @@ class SyntheticRGBD:
     n_frames: int = 30
     seed: int = 0
     motion_scale: float = 1.0
+    trajectory: np.ndarray = None  # optional [N,4,4] T_w_c override
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         self.tex_wall = _make_texture(rng)
         self.tex_floor = _make_texture(rng)
         self.tex_side = _make_texture(rng)
-        self.poses = self._trajectory()  # list of T_w_c (4x4)
+        if self.trajectory is not None:
+            self.poses = np.asarray(self.trajectory, np.float32)
+            self.n_frames = self.poses.shape[0]
+        else:
+            self.poses = self._trajectory()  # list of T_w_c (4x4)
 
     # -- ground truth trajectory -------------------------------------------
 

@@ -662,6 +662,8 @@ class SlamSystem:
         # so this stays opt-in for behavioral parity by default.
         self.enable_global_ba = enable_global_ba
         self._pending_loop: List = []   # (frame_idx, cand_device_scalar, kf_id)
+        self._frame_desc: List = []     # per-frame (desc, valid) device refs
+        self._desc_archive_cap = 4096   # ~32 KB/frame of HBM
         self.loop_closures: List[int] = []
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
@@ -705,6 +707,12 @@ class SlamSystem:
             self._pending_loop.append((self._frame_id, cand, out.ref_kf))
             if len(self._pending_loop) >= DRAIN_CHUNK:
                 self._drain_loop_queue()
+        # archive per-frame descriptor refs (device-resident, no sync):
+        # create_vocabulary includes the LOST frames' descriptors like the
+        # reference (map.cpp:79-83, visualOdometry.cpp:115-121); whether a
+        # frame was lost is only read back lazily at vocabulary time
+        if len(self._frame_desc) < self._desc_archive_cap:
+            self._frame_desc.append((self.state.feats.desc, self.state.feats.valid))
         self._outs.append(out)
         self.timestamps.append(timestamp)
         self._frame_id += 1
@@ -796,21 +804,33 @@ class SlamSystem:
 
     def create_vocabulary(self, k: int = 10, levels: int = 4, seed: int = 0):
         """Build a scene-specific vocabulary from the tracked keyframe
-        descriptors — the capability the reference added over stock
-        ORB-SLAM2 (map.cpp:60-99, including lost-frame descriptors; here all
-        keyframe descriptors participate). Returns a Vocabulary; save with
-        .save(path)."""
-        kf_valid = np.asarray(self.map.kf_valid)
-        descs = []
-        kf_desc = np.asarray(self.map.kf_desc)
-        kp_valid = np.asarray(self.map.kf_kp_valid)
-        for kf in np.nonzero(kf_valid)[0]:
-            descs.append(kf_desc[kf][kp_valid[kf]])
+        descriptors PLUS the descriptors of lost frames — the capability the
+        reference added over stock ORB-SLAM2 (map.cpp:60-99; lost frames
+        archived at visualOdometry.cpp:115-121). Returns a Vocabulary; save
+        with .save(path)."""
+        kf_descs, lost_descs = self._vocabulary_descriptors()
+        descs = kf_descs + lost_descs
         if not descs:
             raise RuntimeError("no keyframes to build a vocabulary from")
         return bow_voc.build_vocabulary(
             np.concatenate(descs), k=k, levels=levels, seed=seed
         )
+
+    def _vocabulary_descriptors(self):
+        """(keyframe descriptor arrays, lost-frame descriptor arrays)."""
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_desc = np.asarray(self.map.kf_desc)
+        kp_valid = np.asarray(self.map.kf_kp_valid)
+        kf_descs = [kf_desc[kf][kp_valid[kf]] for kf in np.nonzero(kf_valid)[0]]
+        # lost-frame descriptors (map.cpp:79-83)
+        lost_descs = []
+        oks = [bool(np.asarray(o.ok)) for o in self._outs[: len(self._frame_desc)]]
+        for ok, (desc, valid) in zip(oks, self._frame_desc):
+            if not ok:
+                d = np.asarray(desc)[np.asarray(valid)]
+                if d.size:
+                    lost_descs.append(d)
+        return kf_descs, lost_descs
 
     @property
     def reloc_frames(self) -> List[int]:

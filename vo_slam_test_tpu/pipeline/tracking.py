@@ -53,6 +53,9 @@ def _spawn_temp_points(
     key = jnp.where(has_d, d, jnp.inf)
     order = jnp.argsort(key)
     rank = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
+    # rank <= 100 keeps 101 points: the reference breaks AFTER spawning the
+    # point that makes point_cnt > 100 (visualOdometry.cpp:590-592), so
+    # ranks 0..100 all spawn — this is exact, not an off-by-one
     valid = has_d & ((d <= cam.th_depth) | (rank <= 100))
     return pw, valid
 

@@ -57,6 +57,9 @@ def spawn_mask_depth_sorted(feats: FrameFeatures, already_real: jnp.ndarray, th_
     key = jnp.where(can, d, jnp.inf)
     order = jnp.argsort(key)
     rank = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
+    # rank <= 100 keeps 101: the reference's `if (d > threshold &&
+    # point_cnt > 100) break` runs AFTER spawning, so the 101st far point
+    # spawns before the loop exits (visualOdometry.cpp:510-511)
     return can & ((d <= th_depth) | (rank <= 100))
 
 
