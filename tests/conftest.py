@@ -15,26 +15,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# the DEFAULT persistent compilation cache is shared with TPU runs whose
-# CPU AOT artifacts are produced by the remote compile service for a
-# DIFFERENT machine type — loading them gives silently wrong numerics
-# (cpu_aot_loader machine-feature mismatch). Tests therefore use a
-# DEDICATED local cache dir that only ever receives artifacts compiled on
-# this machine: correct numerics, and repeat runs skip the multi-minute
-# slam_full_step CPU compiles.
-_cache_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache"))
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_enable_compilation_cache", True)
-# the site hook pre-initializes the SHARED cache object pointing at
-# ~/.cache/jax_vo_slam_tpu (where remote-compiled CPU artifacts land);
-# reset so the next compile re-initializes from the config dir above
-try:
-    from jax._src.compilation_cache import reset_cache as _reset_cache
-    _reset_cache()
-except Exception:
-    pass
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compilation cache MUST stay off for CPU test runs: the
+# axon remote-compile interposer (PALLAS_AXON_REMOTE_COMPILE, active from
+# sitecustomize before any test code runs) serves even CPU compiles from
+# the terminal machine, whose XLA:CPU AOT artifacts target different
+# machine features (+prefer-no-scatter etc. — cpu_aot_loader warns of
+# SIGILL/wrong numerics when loading them). A dedicated local cache dir
+# was tried in round 2 and still filled with remote artifacts.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest

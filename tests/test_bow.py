@@ -56,9 +56,17 @@ class TestVocabulary:
 
     def test_feature_groups(self, voc):
         words = jnp.asarray([0, 5, 24, 124, -1])
-        g = np.asarray(V.feature_groups(voc, words, group_level=2))
+        g = np.asarray(V.feature_groups(voc, words, levels_up=1))
         assert g[0] == 0 and g[-1] == -1
         assert g[3] == 124 // 5
+
+    def test_feature_groups_shallow_vocab_collapses_to_root(self, voc):
+        """levels <= levels_up -> one bucket (DBoW levelsup semantics:
+        frame.cpp:253 goes 3 levels up from the leaves; a 3-level scene
+        vocabulary then imposes no bucket restriction)."""
+        words = jnp.asarray([0, 5, 24, 124])
+        g = np.asarray(V.feature_groups(voc, words))  # default levels_up=3
+        assert (g == 0).all(), g
 
 
 class TestRetrieval:

@@ -60,10 +60,11 @@ class TestLoopDetect:
         ls = LC.empty_loop_state(CAPS)
         results = []
         for kf in [9, 10, 11, 12]:
-            ls, cand = LC.detect_step(
+            ls, cands = LC.detect_step(
                 m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
             )
-            results.append(int(cand))
+            c = np.asarray(cands)
+            results.append(int(c[c >= 0][0]) if (c >= 0).any() else -1)
         # counts 0, 1, 2 accumulate; the fourth detection reaches 3 (the
         # reference pushes the first group with count 0, loopClosing.cpp:160)
         assert results[0] == -1
@@ -74,10 +75,10 @@ class TestLoopDetect:
     def test_no_keyframe_noop(self):
         m = make_map_with_loop()
         ls = LC.empty_loop_state(CAPS)
-        ls2, cand = LC.detect_step(
+        ls2, cands = LC.detect_step(
             m, ls, jnp.asarray(False), jnp.asarray(5, jnp.int32), CAPS
         )
-        assert int(cand) == -1
+        assert (np.asarray(cands) == -1).all()
         np.testing.assert_array_equal(np.asarray(ls2.counts), np.asarray(ls.counts))
 
     def test_connected_candidates_excluded(self):
@@ -90,8 +91,8 @@ class TestLoopDetect:
         m = m.replace(covis=jnp.asarray(covis))
         ls = LC.empty_loop_state(CAPS)
         for kf in [9, 10, 11, 12]:
-            ls, cand = LC.detect_step(m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS)
-        assert int(cand) == -1
+            ls, cands = LC.detect_step(m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS)
+        assert (np.asarray(cands) == -1).all()
 
     def test_alternating_groups_both_accumulate(self):
         """Two disjoint candidate neighborhoods present in every round must
@@ -144,10 +145,11 @@ class TestLoopDetect:
         ls = LC.empty_loop_state(CAPS)
         results = []
         for kf in [9, 10, 11, 12]:
-            ls, cand = LC.detect_step(
+            ls, cands = LC.detect_step(
                 m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
             )
-            results.append(int(cand))
+            c = np.asarray(cands)
+            results.append(int(c[c >= 0][0]) if (c >= 0).any() else -1)
         counts = np.asarray(ls.counts)
         # after the final round both surviving candidate groups carry the
         # full consistency count

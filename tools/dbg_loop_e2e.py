@@ -1,0 +1,98 @@
+import sys, os; sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+os.environ["JAX_PLATFORMS"] = "cpu"  # BEFORE jax import: keeps the axon
+# remote-compile interposer out, so cache entries stay host-local
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_test_cache")
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import numpy as np
+import jax.numpy as jnp
+from test_loop_e2e import drift_island, se3
+import numpy as _np
+
+def pan_trajectory():
+    # settle: a lateral mini-sweep — each keyframe sees ~70% of its
+    # neighbors' points (multi-observer protection against recent-point
+    # culling) without tripping the >90% redundancy keyframe cull
+    settle = [se3(tx=0.13 * i, ty=0.015 * (i % 2), ry=-0.03 * i)
+              for i in range(8)]
+    yaws = (
+        [0.1 + 0.133 * i for i in range(12)]
+        + [1.7] * 4
+        + [1.7 - 0.133 * i for i in range(12)]
+        + [0.1 - 0.02 * i for i in range(4)]
+    )
+    home = [se3(tx=0.45 + 0.2 * _np.sin(0.9 * i + 2), ty=0.015 * i,
+                ry=-0.1 + 0.03 * _np.sin(1.3 * i))
+            for i in range(14)]
+    return _np.stack(
+        settle + [se3(tx=0.05 * _np.sin(3 * y), ry=y) for y in yaws] + home)
+from vo_slam_test_tpu.bow.vocabulary import build_vocabulary
+from vo_slam_test_tpu.camera import Camera
+from vo_slam_test_tpu.config import SlamConfig
+from vo_slam_test_tpu.datasets import SyntheticRGBD
+from vo_slam_test_tpu.frontend.extractor import OrbExtractor
+from vo_slam_test_tpu.pipeline.system import SlamSystem
+from vo_slam_test_tpu.slam_map.map_state import MapCaps
+
+traj = pan_trajectory()
+seq = SyntheticRGBD(seed=41, trajectory=traj)
+cfg = SlamConfig(camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
+                 camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+                 camera_fps=3)
+ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
+descs = []
+for i in (0, 10, 17, 21, 30, 38):
+    g, d, _ = seq[i]
+    f = ext(g, d)
+    descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
+sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=64, max_pt=16384), vocabulary=voc)
+
+# trace every close_step attempt
+from vo_slam_test_tpu.pipeline import loop_closing as _LC
+_orig_close = _LC.close_step
+def _close_dbg(m, ls, kf_id, cand, *a, **k):
+    out = _orig_close(m, ls, kf_id, cand, *a, **k)
+    print(f"   close_step kf={int(np.asarray(kf_id))} cand={int(np.asarray(cand))} "
+          f"accept={bool(np.asarray(out[2]))}")
+    return out
+_LC.close_step = _close_dbg
+drift = se3(tx=0.12, ty=0.05, ry=0.02)
+kf_cut = pt_cut = None
+cut_done = False
+for i in range(len(seq)):
+    g, d, ts = seq[i]
+    sys_.track(g, d, ts)
+    if i == 14:
+        kf_cut = int(np.asarray(sys_.map.n_kf))
+        print(f"frame {i}: island cut recorded kf_cut={kf_cut}")
+    if i == 21 and not cut_done:
+        nk, npts = drift_island(sys_, kf_cut, drift)
+        # also shift the tracking state if its ref KF is in the island:
+        # T_cr is relative so it follows the ref pose automatically
+        print(f"frame {i}: drift injected over {nk} KFs, {npts} pts")
+        cut_done = True
+    if i in (6, 12, 19, 26, 33, 40, 47):
+        mm = sys_.map
+        ref = np.asarray(mm.pt_ref_kf); pv = np.asarray(mm.pt_valid)
+        old = pv & (ref >= 0) & (ref <= 3)
+        print(f"   [i={i}] live pts total={int(pv.sum())} old-island={int(old.sum())} "
+              f"obs_hist={np.bincount(np.asarray(mm.pt_obs_cnt)[pv], minlength=5)[:5].tolist()}")
+    o = sys_._outs[-1]
+    counts = np.asarray(sys_.loop_state.counts)
+    print(f"f{i:02d} ok={int(np.asarray(o.ok))} kf={int(np.asarray(o.made_kf))} "
+          f"ref={int(np.asarray(o.ref_kf))} inl={int(np.asarray(o.n_inliers))} "
+          f"lc={counts[counts>0].tolist()}")
+traj_est, stats, _ = sys_.results()
+print("loop_closures:", sys_.loop_closures)
+print("loop_edges any:", bool(np.asarray(sys_.map.loop_edges).any()))
+counts = np.asarray(sys_.loop_state.counts)
+print("final consistency counts:", counts[counts > 0])
+gt = np.stack([seq.poses[i] for i in range(len(seq))])
+t_err = np.linalg.norm(np.stack(traj_est)[:, :3, 3] - gt[:, :3, 3], axis=1)
+print("t_err tail:", np.round(t_err[-10:], 3))
+print("t_err mid:", np.round(t_err[14:22], 3))
+

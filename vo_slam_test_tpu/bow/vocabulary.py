@@ -95,10 +95,13 @@ def transform(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.nda
     return jnp.where(valid, node, -1)
 
 
-def feature_groups(voc: Vocabulary, words: jnp.ndarray, group_level: int = 3) -> jnp.ndarray:
-    """Word ids -> node ids at ``group_level`` (the featVec buckets the
-    reference matches within, frame.cpp:253 'levelsup' semantics)."""
-    shift = voc.levels - group_level
+def feature_groups(voc: Vocabulary, words: jnp.ndarray, levels_up: int = 3) -> jnp.ndarray:
+    """Word ids -> featVec bucket node ids, ``levels_up`` levels ABOVE the
+    leaves — DBoW's `transform(..., levelsup)` semantics (frame.cpp:253
+    passes 3; for ORBvoc k=10,L=6 that is the 1000-node level). A shallow
+    vocabulary (levels <= levels_up) collapses to the root: no bucket
+    restriction, exactly like DBoW."""
+    shift = min(levels_up, voc.levels)
     return jnp.where(words >= 0, words // (voc.k**shift), -1)
 
 

@@ -74,7 +74,8 @@ def detect_step(
     kf_id: jnp.ndarray,
     caps: MapCaps,
 ) -> Tuple[LoopState, jnp.ndarray]:
-    """Returns (new loop state, confirmed candidate kf id or -1)."""
+    """Returns (new loop state, confirmed candidate kf ids [MAX_CANDS],
+    best score first, -1 padded)."""
 
     def work(args):
         m_, ls_ = args
@@ -127,10 +128,6 @@ def detect_step(
         conf_mask = top_ok & (new_counts >= CONSISTENCY)
         gap_ok = kf >= ls_.last_loop_kf + MIN_KF_GAP
         conf_mask &= gap_ok
-        # best-scoring confirmed candidate
-        conf_scores = jnp.where(conf_mask, top_scores, -jnp.inf)
-        best_slot = jnp.argmax(conf_scores).astype(jnp.int32)
-        confirmed = jnp.any(conf_mask)
 
         groups = jnp.zeros_like(ls_.groups).at[:MAX_CANDS].set(cand_groups)
         counts = jnp.zeros_like(ls_.counts).at[:MAX_CANDS].set(new_counts)
@@ -139,12 +136,15 @@ def detect_step(
             n_groups=jnp.sum(top_ok.astype(jnp.int32)),
             last_loop_kf=ls_.last_loop_kf,
         )
-        out_cand = jnp.where(confirmed, top_ids[best_slot], -1)
-        return ls_new, out_cand
+        # ALL enough-consistent candidates, best score first — the
+        # reference's computeSim3 iterates every one until Sim3
+        # verification succeeds (loopClosing.cpp:178-348)
+        out_cands = jnp.where(conf_mask, top_ids, -1)
+        return ls_new, out_cands
 
     def noop(args):
         _, ls_ = args
-        return ls_, jnp.asarray(-1, jnp.int32)
+        return ls_, jnp.full((MAX_CANDS,), -1, jnp.int32)
 
     return jax.lax.cond(did_kf & (kf_id >= 0), work, noop, (m, ls))
 
@@ -191,26 +191,42 @@ def close_step(
     T1 = m.kf_pose[kf]
     T2 = m.kf_pose[cd]
     p1w = m.pt_pos[jnp.maximum(match1, 0)]
-    p2w = m.pt_pos[jnp.maximum(match2, 0)]
     pc1 = p1w @ T1[:3, :3].T + T1[:3, 3]
-    pc2 = p2w @ T2[:3, :3].T + T2[:3, 3]
     uv1 = cam.camera2pixel(pc1)
-    uv2 = cam.camera2pixel(pc2)
-    # per-side observation-octave sigmas (sim3Solver.cpp:53-54): side 1 uses
-    # the current KF's keypoint octave, side 2 the matched cand keypoint's
     sig1 = scale_factors[m.kf_octave[kf]] ** 2
-    cand_kp = jnp.maximum(res.src_kp, 0)
-    sig2 = scale_factors[m.kf_octave[cd][cand_kp]] ** 2
     gates1 = 9.21 * sig1
-    gates2 = 9.21 * sig2
 
+    def side2(pt_ids, kp_ids):
+        """cand-side camera coords / pixels / sigma for pairs given the
+        matched cand point and observing keypoint per curr keypoint."""
+        pw = m.pt_pos[jnp.maximum(pt_ids, 0)]
+        pc = pw @ T2[:3, :3].T + T2[:3, 3]
+        uv = cam.camera2pixel(pc)
+        sig = scale_factors[m.kf_octave[cd][jnp.maximum(kp_ids, 0)]] ** 2
+        return pc, uv, sig
+
+    pc2, uv2, sig2 = side2(match2, res.src_kp)
     s12, T12, inl_r, n_ransac = sim3.ransac_sim3(
-        pc1, pc2, uv1, uv2, gates1, gates2, pair_ok,
+        pc1, pc2, uv1, uv2, gates1, 9.21 * sig2, pair_ok,
         cam.fx, cam.fy, cam.cx, cam.cy, kf_id, fix_scale=True,
     )
+
+    # enlarge the match set through the Sim3 estimate before refinement
+    # (matcher.cpp:679-865 searchBySim3; computeSim3 order loopClosing.cpp:
+    # 253-274) — the >=20 refine gate counts these extra matches
+    pc2_own = m.pt_pos[jnp.maximum(row2, 0)] @ T2[:3, :3].T + T2[:3, 3]
+    sb_kp, sb_ok = _search_by_sim3(
+        m, kf, cd, T12, s12, pc1, pc2_own, live1, live2, cam, scale_factors
+    )
+    sb_new = sb_ok & (match2 < 0) & live1
+    match2 = jnp.where(pair_ok, match2, jnp.where(sb_new, row2[jnp.maximum(sb_kp, 0)], -1))
+    cand_kp = jnp.where(pair_ok, res.src_kp, jnp.where(sb_new, sb_kp, -1))
+
+    pc2, uv2, sig2 = side2(match2, cand_kp)
+    active = (inl_r & pair_ok) | sb_new
     s12b, T12b, inl_ref, n_ref = sim3.refine_sim3(
         T12, s12, pc1, pc2, uv1, uv2, 1.0 / sig1, 1.0 / sig2,
-        inl_r & pair_ok,
+        active,
         cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=True,
     )
 
@@ -325,6 +341,61 @@ def close_step(
     m = jax.lax.cond(accept, do_correct, lambda m: m, m)
     ls = ls.replace(last_loop_kf=jnp.where(accept, kf, ls.last_loop_kf))
     return m, ls, accept
+
+
+def _search_by_sim3(
+    m, kf, cd, T12, s12, pc1, pc2, live1, live2, cam, scale_factors,
+    radius: float = 7.5,
+):
+    """Matcher::searchBySim3 (matcher.cpp:679-865): project each side's
+    map points into the other keyframe through the current Sim3 estimate,
+    window-search by Hamming (TH_HIGH), and keep bidirectionally-agreeing
+    pairs. Returns (match_kp [N] i32 cand keypoint per curr keypoint, ok
+    [N]) for NEW pairs to enlarge the BoW match set before refinement —
+    the reference's refine gate counts these extra matches, so omitting
+    them makes the >=20 gate strictly harsher and drops marginal loops."""
+    N = live1.shape[0]
+    R12 = T12[:3, :3]
+    t12 = T12[:3, 3]
+
+    def window_match(uv_pred, pred_lvl, valid_src, src_desc, tgt_kf):
+        kp_uv = m.kf_uv_und[tgt_kf]
+        kp_oct = m.kf_octave[tgt_kf]
+        kp_ok = m.kf_kp_valid[tgt_kf]
+        r = radius * scale_factors[pred_lvl]
+        du = jnp.abs(kp_uv[None, :, 0] - uv_pred[:, 0:1])
+        dv = jnp.abs(kp_uv[None, :, 1] - uv_pred[:, 1:2])
+        window = (du < r[:, None]) & (dv < r[:, None])
+        oct_ok = (kp_oct[None, :] >= (pred_lvl - 1)[:, None]) & (
+            kp_oct[None, :] <= pred_lvl[:, None]
+        )
+        allowed = window & oct_ok & valid_src[:, None] & kp_ok[None, :]
+        D = jnp.where(allowed, hamming.distance_matrix(src_desc, m.kf_desc[tgt_kf]), 1 << 20)
+        best = jnp.argmin(D, axis=1).astype(jnp.int32)
+        best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+        return jnp.where(best_d <= 100, best, -1)
+
+    # forward: kf1 points -> cand image through S21
+    p2_pred = ((pc1 - t12) @ R12) / jnp.maximum(s12, 1e-9)
+    uv2_pred = cam.camera2pixel(p2_pred)
+    in2 = (p2_pred[:, 2] > 0) & cam.in_image(uv2_pred)
+    # scale prediction from the source observation's octave (the reference
+    # predicts from the point's distance band; the observing octave is the
+    # equivalent fixed-shape stand-in)
+    lvl1 = m.kf_octave[kf]
+    m12 = window_match(uv2_pred, lvl1, live1 & in2, m.kf_desc[kf], cd)
+
+    # backward: cand points -> kf1 image through S12
+    p1_pred = s12 * pc2 @ R12.T + t12
+    uv1_pred = cam.camera2pixel(p1_pred)
+    in1 = (p1_pred[:, 2] > 0) & cam.in_image(uv1_pred)
+    lvl2 = m.kf_octave[cd]
+    m21 = window_match(uv1_pred, lvl2, live2 & in1, m.kf_desc[cd], kf)
+
+    # bidirectional agreement (matcher.cpp:833-860)
+    j = jnp.maximum(m12, 0)
+    agree = (m12 >= 0) & (m21[j] == jnp.arange(N, dtype=jnp.int32))
+    return jnp.where(agree, m12, -1), agree
 
 
 def _project_points(m, mask, T, cam, scale_factors):

@@ -450,12 +450,11 @@ def slam_step(
         local_kf, ref_kf = local_map.local_keyframe_mask(m, att.kp_pt)
         ref_kf = jnp.where(jnp.any(att.kp_pt >= 0), ref_kf, state.ref_kf)
         cand_pts = local_map.local_point_mask(m, local_kf) & ~member
-        fr = local_map.frustum_check(m, att.T, cam, scale_factors)
         blocked = _observed(m, att.kp_pt)
         th_rad = jnp.where(frame_id < reloc_frame + 2, 5.0, 3.0)
         lm = local_map.search_local_points(
-            m, fr, cand_pts, feats.uv_und, feats.u_right, feats.octave, feats.desc,
-            feats.valid, blocked, scale_factors, th_rad,
+            m, att.T, cand_pts, feats.uv_und, feats.u_right, feats.octave, feats.desc,
+            feats.valid, blocked, scale_factors, th_rad, cam=cam,
         )
         kp_pt2 = jnp.where(lm.assign >= 0, lm.assign, att.kp_pt)
         kp_temp2 = att.kp_temp & (lm.assign < 0)
@@ -731,17 +730,22 @@ class SlamSystem:
             return
         batch = self._pending_loop
         self._pending_loop = []
-        cands = np.asarray(jnp.stack([c for _, c, _ in batch])).tolist()
-        for (frame_idx, _, kf_id), cand_i in zip(batch, cands):
-            if cand_i < 0:
-                continue
-            g_curr = bow_voc.feature_groups(self.voc, self.map.kf_word[jnp.maximum(kf_id, 0)])
-            g_cand = bow_voc.feature_groups(self.voc, self.map.kf_word[cand_i])
-            self.map, self.loop_state, accepted = loop_closing.close_step(
-                self.map, self.loop_state, kf_id, jnp.asarray(cand_i, jnp.int32),
-                self.caps, self.camera, self.scale_factors, g_curr, g_cand,
-            )
-            if bool(np.asarray(accepted)):
+        cands = np.asarray(jnp.stack([c for _, c, _ in batch]))  # [B, MAX_CANDS]
+        for (frame_idx, _, kf_id), row in zip(batch, cands.tolist()):
+            # try every enough-consistent candidate until one verifies
+            # (the reference's computeSim3 loop, loopClosing.cpp:178-348)
+            for cand_i in row:
+                if cand_i < 0:
+                    continue
+                g_curr = bow_voc.feature_groups(
+                    self.voc, self.map.kf_word[jnp.maximum(kf_id, 0)])
+                g_cand = bow_voc.feature_groups(self.voc, self.map.kf_word[cand_i])
+                self.map, self.loop_state, accepted = loop_closing.close_step(
+                    self.map, self.loop_state, kf_id, jnp.asarray(cand_i, jnp.int32),
+                    self.caps, self.camera, self.scale_factors, g_curr, g_cand,
+                )
+                if not bool(np.asarray(accepted)):
+                    continue
                 self.loop_closures.append(frame_idx)
                 if self.enable_global_ba:
                     from ..solvers.global_ba import global_bundle_adjust
@@ -750,6 +754,7 @@ class SlamSystem:
                         self.map, self.caps, self.camera, jnp.asarray(0, jnp.int32),
                         inv_level_sigma2=self.inv_level_sigma2,
                     )
+                break
 
     def results(self):
         """Blocks; returns (trajectory T_w_c [F,4,4], stats, kf_traj)."""

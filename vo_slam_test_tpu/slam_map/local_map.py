@@ -139,7 +139,7 @@ class LocalMatch(NamedTuple):
 
 def search_local_points(
     m: MapState,
-    fr: FrustumInfo,
+    T_c_w: jnp.ndarray,            # [4,4] current pose estimate
     candidate_mask: jnp.ndarray,   # [P] bool: local & not already matched
     tgt_uv_und: jnp.ndarray,
     tgt_u_right: jnp.ndarray,
@@ -149,16 +149,21 @@ def search_local_points(
     tgt_blocked: jnp.ndarray,      # [N] already bound to a real map point
     scale_factors: jnp.ndarray,
     th_radius,
+    cam: Camera = None,
     ratio: float = 0.8,
 ) -> LocalMatch:
-    """matcher.cpp:274-353 as a compacted [MAX_LOCAL_PTS x N] matrix search."""
+    """matcher.cpp:274-353 as a compacted [MAX_LOCAL_PTS x N] matrix search.
+
+    The frustum check (Frame::isInFrame, frame.cpp:145-190) runs only on
+    the compacted LOCAL candidates, not the whole point table — the
+    reference also frustum-culls only the local set
+    (visualOdometry.cpp:726-774)."""
     P = m.pt_valid.shape[0]
     N = tgt_valid.shape[0]
-    eligible = candidate_mask & fr.in_frame
 
-    # compact to MAX_LOCAL_PTS slots
-    pos = jnp.cumsum(eligible.astype(jnp.int32)) - 1
-    slot = jnp.where(eligible & (pos < MAX_LOCAL_PTS), pos, MAX_LOCAL_PTS)
+    # compact the candidate set FIRST, then project only those rows
+    pos = jnp.cumsum(candidate_mask.astype(jnp.int32)) - 1
+    slot = jnp.where(candidate_mask & (pos < MAX_LOCAL_PTS), pos, MAX_LOCAL_PTS)
     pt_ids = jnp.arange(P, dtype=jnp.int32)
 
     def compact(vsrc, fill):
@@ -166,13 +171,38 @@ def search_local_points(
         return out.at[slot].set(vsrc)[:MAX_LOCAL_PTS]
 
     c_id = compact(pt_ids, -1)
-    c_u = compact(fr.u, 0.0)
-    c_v = compact(fr.v, 0.0)
-    c_ur = compact(fr.ur, 0.0)
-    c_lvl = compact(fr.pred_level, 0)
-    c_cos = compact(fr.view_cos, 0.0)
+    c_pos = compact(m.pt_pos, 0.0)
+    c_norm = compact(m.pt_normal, 0.0)
+    c_min = compact(m.pt_min_dist, 0.0)
+    c_max = compact(m.pt_max_dist, 0.0)
     c_desc = compact(m.pt_desc, jnp.uint32(0))
-    c_ok = c_id >= 0
+
+    R = T_c_w[:3, :3]
+    t = T_c_w[:3, 3]
+    pc = c_pos @ R.T + t
+    z = pc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    c_u = cam.fx * pc[:, 0] / safe_z + cam.cx
+    c_v = cam.fy * pc[:, 1] / safe_z + cam.cy
+    c_ur = c_u - cam.bf / safe_z
+    ow = -R.T @ t
+    line = c_pos - ow
+    dist = jnp.linalg.norm(line, axis=-1)
+    c_cos = jnp.sum(line * c_norm, axis=-1) / jnp.maximum(dist, 1e-9)
+    in_frame = (
+        (z > 0)
+        & (c_u >= 0) & (c_u <= cam.width)
+        & (c_v >= 0) & (c_v <= cam.height)
+        & (dist >= c_min) & (dist <= c_max)
+        & (c_cos >= 0.5)
+    )
+    ratio_d = c_max / jnp.maximum(dist, 1e-9)
+    c_lvl = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio_d, 1e-9)) / jnp.log(scale_factors[1])
+                 ).astype(jnp.int32),
+        0, scale_factors.shape[0] - 1,
+    )
+    c_ok = (c_id >= 0) & in_frame
 
     r_base = jnp.where(c_cos > 0.998, 2.5, 4.0) * th_radius
     r_scale = r_base * scale_factors[c_lvl]  # [M]
@@ -211,8 +241,15 @@ def search_local_points(
         jnp.full((N + 1,), -1, jnp.int32).at[tgt_slot].max(jnp.where(matched, src_ids, -1))[:N]
     )
     assign = jnp.where(winner >= 0, c_id[jnp.maximum(winner, 0)], -1)
+    visible = (
+        jnp.zeros((P,), bool)
+        .at[jnp.where(c_ok, c_id, P - 1)]
+        .max(c_ok)
+        .at[P - 1]
+        .set(False)
+    )
     return LocalMatch(
         assign=assign,
         n_matches=jnp.sum(matched.astype(jnp.int32)),
-        visible_mask=fr.in_frame & candidate_mask,
+        visible_mask=visible & candidate_mask,
     )
