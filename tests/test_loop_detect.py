@@ -49,6 +49,9 @@ def make_map_with_loop():
         kf_bow_weight=jnp.asarray(kf_bow_weight),
         covis=jnp.asarray(covis),
         kf_valid=jnp.asarray(valid),
+        # creation-ordered sequence numbers: the loop gap gate counts
+        # insertion order (kf_seq), matching the reference's KeyFrame::id_
+        kf_seq=jnp.asarray(np.where(valid, np.arange(CAPS.max_kf), -1).astype(np.int32)),
         n_kf=jnp.asarray(13, jnp.int32),
     )
     return m
@@ -60,7 +63,7 @@ class TestLoopDetect:
         ls = LC.empty_loop_state(CAPS)
         results = []
         for kf in [9, 10, 11, 12]:
-            ls, cands = LC.detect_step(
+            ls, cands, _gens = LC.detect_step(
                 m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
             )
             c = np.asarray(cands)
@@ -75,7 +78,7 @@ class TestLoopDetect:
     def test_no_keyframe_noop(self):
         m = make_map_with_loop()
         ls = LC.empty_loop_state(CAPS)
-        ls2, cands = LC.detect_step(
+        ls2, cands, _gens = LC.detect_step(
             m, ls, jnp.asarray(False), jnp.asarray(5, jnp.int32), CAPS
         )
         assert (np.asarray(cands) == -1).all()
@@ -91,7 +94,7 @@ class TestLoopDetect:
         m = m.replace(covis=jnp.asarray(covis))
         ls = LC.empty_loop_state(CAPS)
         for kf in [9, 10, 11, 12]:
-            ls, cands = LC.detect_step(m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS)
+            ls, cands, _gens = LC.detect_step(m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS)
         assert (np.asarray(cands) == -1).all()
 
     def test_alternating_groups_both_accumulate(self):
@@ -140,12 +143,13 @@ class TestLoopDetect:
             kf_bow_weight=jnp.asarray(kf_bow_weight),
             covis=jnp.asarray(covis),
             kf_valid=jnp.asarray(valid),
+            kf_seq=jnp.asarray(np.where(valid, np.arange(CAPS.max_kf), -1).astype(np.int32)),
             n_kf=jnp.asarray(13, jnp.int32),
         )
         ls = LC.empty_loop_state(CAPS)
         results = []
         for kf in [9, 10, 11, 12]:
-            ls, cands = LC.detect_step(
+            ls, cands, _gens = LC.detect_step(
                 m, ls, jnp.asarray(True), jnp.asarray(kf, jnp.int32), CAPS
             )
             c = np.asarray(cands)

@@ -110,8 +110,7 @@ class TestLoopClosureE2E:
                 # fully turned: the start view is out of the frustum, so
                 # the island split cannot be re-anchored by old points
                 kf_cut = int(np.asarray(sys_.map.n_kf)) - 2
-                pt_cut = int(np.asarray(sys_.map.n_pt)) - 800
-                nk, npts = drift_island(sys_, max(kf_cut, 1), max(pt_cut, 0), drift)
+                nk, npts = drift_island(sys_, max(kf_cut, 1), drift)
                 assert nk >= 1 and npts > 50, (nk, npts)
                 cut_done = True
 

@@ -4,7 +4,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # BEFORE jax import: keeps the axon
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_test_cache")
-jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update("jax_enable_compilation_cache", False)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np

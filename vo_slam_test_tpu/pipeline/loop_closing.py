@@ -54,7 +54,11 @@ class LoopState:
     groups: jnp.ndarray      # [G,K] bool previous candidate groups
     counts: jnp.ndarray      # [G] i32 consistency counts
     n_groups: jnp.ndarray    # i32
-    last_loop_kf: jnp.ndarray  # i32
+    last_loop_seq: jnp.ndarray  # i32 kf_seq of the last accepted loop KF —
+                                # the gap gate counts INSERTION order
+                                # (keyframe.cpp id_), not slot ids, which
+                                # stop being creation-ordered once slot
+                                # recycling starts
 
 
 def empty_loop_state(caps: MapCaps) -> LoopState:
@@ -62,7 +66,9 @@ def empty_loop_state(caps: MapCaps) -> LoopState:
         groups=jnp.zeros((MAX_GROUPS, caps.max_kf), bool),
         counts=jnp.zeros((MAX_GROUPS,), jnp.int32),
         n_groups=jnp.asarray(0, jnp.int32),
-        last_loop_kf=jnp.asarray(-100, jnp.int32),
+        # the reference initializes lastLoopKFId_ = 0 (loopClosing.cpp:14),
+        # so the first 10 keyframes can never close a loop
+        last_loop_seq=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -126,7 +132,7 @@ def detect_step(
             top_ok, jnp.where(prev_best >= 0, prev_best + 1, 0), 0
         ).astype(jnp.int32)
         conf_mask = top_ok & (new_counts >= CONSISTENCY)
-        gap_ok = kf >= ls_.last_loop_kf + MIN_KF_GAP
+        gap_ok = m_.kf_seq[kf] >= ls_.last_loop_seq + MIN_KF_GAP
         conf_mask &= gap_ok
 
         groups = jnp.zeros_like(ls_.groups).at[:MAX_CANDS].set(cand_groups)
@@ -134,17 +140,22 @@ def detect_step(
         ls_new = LoopState(
             groups=groups, counts=counts,
             n_groups=jnp.sum(top_ok.astype(jnp.int32)),
-            last_loop_kf=ls_.last_loop_kf,
+            last_loop_seq=ls_.last_loop_seq,
         )
         # ALL enough-consistent candidates, best score first — the
         # reference's computeSim3 iterates every one until Sim3
-        # verification succeeds (loopClosing.cpp:178-348)
+        # verification succeeds (loopClosing.cpp:178-348). Candidate slot
+        # generations ride along: close_step runs up to DRAIN_CHUNK frames
+        # later, by which time a candidate slot may have been culled and
+        # recycled into a different keyframe.
         out_cands = jnp.where(conf_mask, top_ids, -1)
-        return ls_new, out_cands
+        out_gens = jnp.where(conf_mask, m_.kf_gen[jnp.maximum(top_ids, 0)], -1)
+        return ls_new, out_cands, out_gens
 
     def noop(args):
         _, ls_ = args
-        return ls_, jnp.full((MAX_CANDS,), -1, jnp.int32)
+        pad = jnp.full((MAX_CANDS,), -1, jnp.int32)
+        return ls_, pad, pad
 
     return jax.lax.cond(did_kf & (kf_id >= 0), work, noop, (m, ls))
 
@@ -160,15 +171,27 @@ def close_step(
     scale_factors: jnp.ndarray,
     voc_groups_curr: jnp.ndarray,  # [N] level-3 groups of kf_id's words
     voc_groups_cand: jnp.ndarray,
+    kf_gen_expect: jnp.ndarray = None,   # i32 kf_gen of kf_id at detect time
+    cand_gen_expect: jnp.ndarray = None,  # i32 kf_gen of cand_kf at detect time
 ) -> Tuple[MapState, LoopState, jnp.ndarray]:
     """Attempt Sim3 verification + loop correction. Returns
-    (map, loop state, success flag)."""
+    (map, loop state, success flag).
+
+    The generation guards reject a queued candidate whose keyframe slot was
+    culled and recycled between detection and this (drain-batched) call —
+    without them a reused slot could verify a bogus loop against a
+    different keyframe's features."""
     K = caps.max_kf
     N = caps.n_feat
     P = caps.max_pt
 
     kf = jnp.maximum(kf_id, 0)
     cd = jnp.maximum(cand_kf, 0)
+    gen_ok = m.kf_valid[kf] & m.kf_valid[cd]
+    if kf_gen_expect is not None:
+        gen_ok &= m.kf_gen[kf] == kf_gen_expect
+    if cand_gen_expect is not None:
+        gen_ok &= m.kf_gen[cd] == cand_gen_expect
 
     # ---- KF<->KF BoW matching (matcher.cpp:561-677, ratio 0.75) ------------
     row1 = m.kf_mp[kf]
@@ -246,7 +269,7 @@ def close_step(
         m, fr_u, fr_valid, kf, cam, scale_factors, radius=7.5
     )
     total = jnp.sum((lm >= 0).astype(jnp.int32))
-    accept = (n_bow >= 20) & (n_ransac >= 20) & (n_ref >= 20) & (total >= 40)
+    accept = gen_ok & (n_bow >= 20) & (n_ransac >= 20) & (n_ref >= 20) & (total >= 40)
 
     # ---- correctLoop (loopClosing.cpp:350-492) ----------------------------
     def do_correct(m):
@@ -339,7 +362,9 @@ def close_step(
         return m
 
     m = jax.lax.cond(accept, do_correct, lambda m: m, m)
-    ls = ls.replace(last_loop_kf=jnp.where(accept, kf, ls.last_loop_kf))
+    ls = ls.replace(
+        last_loop_seq=jnp.where(accept, m.kf_seq[kf], ls.last_loop_seq)
+    )
     return m, ls, accept
 
 

@@ -63,6 +63,9 @@ class SlamTrackState:
                                 # per-frame host->device scalar transfer)
     feats: FrameFeatures        # last frame features
     assign_real: jnp.ndarray    # [N] i32 map-point id per last-frame kp (-1)
+    assign_gen: jnp.ndarray     # [N] i32 pt_gen at bind time — a culled +
+                                # recycled slot must not silently rebind to
+                                # a different landmark next frame
     T_cr: jnp.ndarray           # [4,4] last frame pose relative to its ref KF
     ref_kf: jnp.ndarray         # i32 ref keyframe of the last frame
     T_cl: jnp.ndarray           # [4,4] motion model
@@ -176,9 +179,12 @@ def slam_step(
     # ======================== INIT BRANCH ==================================
     def init_branch(m):
         m2, kf_id = insert_kf(m, eye, jnp.full((N,), -1, jnp.int32))
+        row0 = m2.kf_mp[kf_id]
         st = SlamTrackState(
             frame_id=frame_id + 1,
-            feats=feats, assign_real=m2.kf_mp[kf_id], T_cr=eye, ref_kf=kf_id,
+            feats=feats, assign_real=row0,
+            assign_gen=jnp.where(row0 >= 0, m2.pt_gen[jnp.maximum(row0, 0)], -1),
+            T_cr=eye, ref_kf=kf_id,
             T_cl=eye, motion_valid=jnp.asarray(False), initialized=jnp.asarray(True),
             lost=jnp.asarray(False),
             last_kf_frame=jnp.asarray(frame_id, jnp.int32),
@@ -205,7 +211,12 @@ def slam_step(
 
         # ---------------- attempt 1: trackWithMotion -----------------------
         def attempt_motion(_):
-            real_last = state.assign_real >= 0
+            safe_last = jnp.maximum(state.assign_real, 0)
+            real_last = (
+                (state.assign_real >= 0)
+                & m.pt_valid[safe_last]
+                & (m.pt_gen[safe_last] == state.assign_gen)
+            )
             temp_pw_all, temp_valid = _spawn_temp_points(state.feats, T_last, cam)
             temp_valid &= ~real_last & ~state.last_was_kf
             last_pw = jnp.where(
@@ -526,7 +537,11 @@ def slam_step(
 
         st = SlamTrackState(
             frame_id=frame_id + 1,
-            feats=feats, assign_real=assign_out, T_cr=T_cr, ref_kf=ref_kf_out,
+            feats=feats, assign_real=assign_out,
+            assign_gen=jnp.where(
+                assign_out >= 0, m.pt_gen[jnp.maximum(assign_out, 0)], -1
+            ),
+            T_cr=T_cr, ref_kf=ref_kf_out,
             T_cl=T_cl, motion_valid=ok, initialized=jnp.asarray(True),
             lost=~ok,
             last_kf_frame=jnp.where(need_kf, frame_id, state.last_kf_frame),
@@ -552,6 +567,7 @@ def mapping_step(
     caps: MapCaps,
     cam: Camera,
     scale_factors: jnp.ndarray,
+    interrupt_ba: jnp.ndarray | None = None,
 ):
     """The local-mapping chain for one new keyframe, dispatched every frame
     with a no-op branch (so the host never syncs on the made_kf flag).
@@ -559,6 +575,10 @@ def mapping_step(
     Order mirrors LocalMapping::run (localMapping.cpp:16-66):
     cullingMapPoints -> createNewMapPoints -> searchInNeighbors (fuse) ->
     local BA -> cullingKeyFrames.
+
+    interrupt_ba: the reference's interruptBA flag (localMapping.cpp:
+    538-541) — bounds the BA to one iteration per pass when the worker is
+    backlogged; see local_bundle_adjust.
     """
 
     def work(m):
@@ -567,7 +587,8 @@ def mapping_step(
         m = triangulate.create_new_map_points(m, kid, caps, cam, scale_factors)
         m = fuse.search_in_neighbors(m, kid, caps, cam, scale_factors)
         m = local_ba.local_bundle_adjust(
-            m, kid, caps, cam, 1.0 / (scale_factors * scale_factors)
+            m, kid, caps, cam, 1.0 / (scale_factors * scale_factors),
+            stop=interrupt_ba,
         )
         m = culling.cull_keyframes(m, kid, caps, cam)
         return m
@@ -576,52 +597,65 @@ def mapping_step(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("caps", "spec", "budgets", "use_bow", "with_loop"),
-    # only the map is donated: empty-state pytrees legitimately alias
-    # buffers between fields (e.g. identity poses), which XLA rejects as
-    # double donation
-    donate_argnums=(1,),
+    jax.jit, static_argnames=("caps", "with_loop"), donate_argnums=(0, 1)
 )
-def slam_full_step(
-    state: SlamTrackState,
+def background_step(
     m: MapState,
     loop_state,
-    gray: jnp.ndarray,
-    depth_raw: jnp.ndarray,
-    timestamp,
-    depth_scale,
-    cam: Camera,
+    did_kf: jnp.ndarray,
+    kf_id: jnp.ndarray,
+    interrupt_ba: jnp.ndarray,
     caps: MapCaps,
-    spec,
-    budgets,
+    cam: Camera,
     scale_factors: jnp.ndarray,
-    inv_level_sigma2: jnp.ndarray,
-    fast_hi: float,
-    fast_lo: float,
-    max_frame_gap: int,
-    voc,
-    use_bow: bool,
     with_loop: bool,
 ):
-    """Tracking + mapping (+ loop detection) as ONE dispatch per frame.
-
-    Separate slam_step/mapping_step/detect_step dispatches each pay the
-    host-runtime round trip; fusing them into one program removes two of
-    the three per-frame dispatches (the inner jits inline under tracing)."""
-    state, m, out = slam_step(
-        state, m, gray, depth_raw, timestamp, depth_scale, cam, caps, spec,
-        budgets, scale_factors, inv_level_sigma2, fast_hi, fast_lo,
-        max_frame_gap, voc, use_bow,
+    """Everything the reference runs OFF the tracking thread — the
+    LocalMapping chain and LoopClosing detection (vo_run.cpp:72,95 spawn
+    these as their own threads) — as one dispatch, issued asynchronously
+    after each frame's tracking dispatch. The host never blocks on it, so
+    tracking latency is structurally independent of the mapping chain; on
+    hardware where mapping has its own resources (the reference's extra CPU
+    cores, or a dedicated second chip) it leaves the tracking path
+    entirely."""
+    m = mapping_step(
+        m, did_kf, kf_id, caps, cam, scale_factors, interrupt_ba=interrupt_ba
     )
-    m = mapping_step(m, out.made_kf, out.ref_kf, caps, cam, scale_factors)
     if with_loop:
-        loop_state, cand = loop_closing.detect_step(
-            m, loop_state, out.made_kf, out.ref_kf, caps
+        loop_state, cand, cand_gen = loop_closing.detect_step(
+            m, loop_state, did_kf, kf_id, caps
         )
     else:
         cand = jnp.asarray(-1, jnp.int32)
-    return state, m, loop_state, out, cand
+        cand_gen = jnp.asarray(-1, jnp.int32)
+    return m, loop_state, cand, cand_gen
+
+
+def recover_frame_pose(
+    ref: int, gen: int, T_cr: np.ndarray, T_c_w_raw: np.ndarray,
+    kf_pose, kf_valid, kf_gen, cull_parent, cull_parent_gen, cull_gen, kf_tcp,
+) -> np.ndarray:
+    """Per-frame pose from (T_cr, ref KF), walking the Tcp parent chain
+    through culled keyframes (vo_run.cpp:207-226).
+
+    Every hop carries the EXPECTED generation of the slot it lands on: a
+    live slot must match kf_gen, a culled slot must match cull_gen (the
+    archive only describes the most recent culled generation per slot).
+    Any mismatch means the chain was severed by slot reuse — return the
+    raw tracked pose rather than composing transforms that belong to a
+    different keyframe's generation."""
+    T_rp = np.eye(4, dtype=np.float32)
+    hops = 0
+    while ref >= 0 and hops < 64:
+        if kf_valid[ref] and kf_gen[ref] == gen:
+            return T_cr @ T_rp @ kf_pose[ref]
+        if cull_gen[ref] != gen:
+            break  # archive overwritten by a later generation's cull
+        T_rp = T_rp @ kf_tcp[ref]
+        gen = int(cull_parent_gen[ref])
+        ref = int(cull_parent[ref])
+        hops += 1
+    return T_c_w_raw
 
 
 class SlamSystem:
@@ -661,9 +695,15 @@ class SlamSystem:
         # so this stays opt-in for behavioral parity by default.
         self.enable_global_ba = enable_global_ba
         self._pending_loop: List = []   # (frame_idx, cand_device_scalar, kf_id)
+        # interruptBA analogue (localMapping.cpp:538-541): raised by a host
+        # scheduler when the background worker is backlogged; each LM pass
+        # then yields after one iteration. Serialized single-chip execution
+        # never backlogs, so it stays False there.
+        self._interrupt_ba = jnp.asarray(False)
         self._frame_desc: List = []     # per-frame (desc, valid) device refs
         self._desc_archive_cap = 4096   # ~32 KB/frame of HBM
         self.loop_closures: List[int] = []
+        self._inflight_drain = None     # (batch, device array being copied)
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
         self._frame_id = 0
@@ -680,6 +720,7 @@ class SlamSystem:
         return SlamTrackState(
             frame_id=jnp.asarray(0, jnp.int32),
             feats=feats, assign_real=jnp.full((N,), -1, jnp.int32),
+            assign_gen=jnp.full((N,), -1, jnp.int32),
             T_cr=eye, ref_kf=jnp.asarray(0, jnp.int32), T_cl=eye,
             motion_valid=jnp.asarray(False), initialized=jnp.asarray(False),
             lost=jnp.asarray(False),
@@ -692,18 +733,31 @@ class SlamSystem:
         """depth: f32 meters OR u16 raw (scaled by depth_scale on device —
         halves the per-frame upload). All per-frame inputs go straight into
         the jit dispatch (no eager converts); the frame counter lives in
-        device state."""
-        self.state, self.map, self.loop_state, out, cand = slam_full_step(
-            self.state, self.map, self.loop_state,
+        device state.
+
+        Two asynchronous dispatches per frame, mirroring the reference's
+        thread split (vo_run.cpp:72,95): the TRACKING program (slam_step),
+        whose latency is the per-frame metric, and the BACKGROUND program
+        (mapping chain + loop detection), which the host fires without ever
+        blocking on it — the tracking path does not wait for mapping."""
+        self.state, self.map, out = slam_step(
+            self.state, self.map,
             np.ascontiguousarray(gray), depth,
             jnp.asarray(timestamp, jnp.float32), self._depth_scale,
             self.camera, self.caps, self.spec, self.budgets,
             self.scale_factors, self.inv_level_sigma2,
             self.fast_hi, self.fast_lo, self.max_frame_gap,
-            self.voc, self.use_bow, self.enable_loop_closing,
+            self.voc, self.use_bow,
+        )
+        self.map, self.loop_state, cand, cand_gen = background_step(
+            self.map, self.loop_state, out.made_kf, out.ref_kf,
+            self._interrupt_ba, self.caps, self.camera, self.scale_factors,
+            self.enable_loop_closing,
         )
         if self.enable_loop_closing:
-            self._pending_loop.append((self._frame_id, cand, out.ref_kf))
+            self._pending_loop.append(
+                (self._frame_id, cand, cand_gen, out.ref_kf, out.ref_gen)
+            )
             if len(self._pending_loop) >= DRAIN_CHUNK:
                 self._drain_loop_queue()
         # archive per-frame descriptor refs (device-resident, no sync):
@@ -721,20 +775,43 @@ class SlamSystem:
         correction step for confirmed candidates — the async analogue of
         the reference's LoopClosing thread.
 
-        Candidates are fetched in DRAIN_CHUNK batches: a per-frame scalar
-        readback costs a full device round trip on a tunneled runtime
-        (measured ~20 ms/frame), while a confirmed loop candidate is rare.
-        Loop closure therefore lags up to DRAIN_CHUNK frames — like the
-        reference's queue-fed LoopClosing thread (loopClosing.cpp:17-37)."""
-        if not self._pending_loop:
-            return
-        batch = self._pending_loop
-        self._pending_loop = []
-        cands = np.asarray(jnp.stack([c for _, c, _ in batch]))  # [B, MAX_CANDS]
-        for (frame_idx, _, kf_id), row in zip(batch, cands.tolist()):
+        Candidates are fetched in DRAIN_CHUNK batches with an ASYNC
+        device-to-host copy: the copy for batch k starts when the batch
+        closes and is consumed one drain later (batch k+1's close), by
+        which point the transfer has long completed — the tracking loop
+        never blocks on the tunnel round trip (a blocking per-frame scalar
+        readback measured ~20-25 ms). Loop closure therefore lags up to
+        2*DRAIN_CHUNK frames — like the reference's queue-fed LoopClosing
+        thread (loopClosing.cpp:17-37)."""
+        ready = self._inflight_drain
+        self._inflight_drain = None
+        if ready is not None:
+            self._process_drain(*ready)   # the older batch, copy long done
+        if self._pending_loop:
+            batch = self._pending_loop
+            self._pending_loop = []
+            stacked = jnp.stack(
+                [jnp.concatenate([c, g]) for _, c, g, _, _ in batch]
+            )  # [B, 2*MAX_CANDS]
+            try:
+                stacked.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._inflight_drain = (batch, stacked)
+        if final and self._inflight_drain is not None:
+            self._process_drain(*self._inflight_drain)
+            self._inflight_drain = None
+
+    def _process_drain(self, batch, stacked) -> None:
+        arr = np.asarray(stacked)
+        k = arr.shape[1] // 2
+        cands, gens = arr[:, :k], arr[:, k:]
+        for (frame_idx, _, _, kf_id, kf_gen), crow, grow in zip(
+            batch, cands.tolist(), gens.tolist()
+        ):
             # try every enough-consistent candidate until one verifies
             # (the reference's computeSim3 loop, loopClosing.cpp:178-348)
-            for cand_i in row:
+            for cand_i, gen_i in zip(crow, grow):
                 if cand_i < 0:
                     continue
                 g_curr = bow_voc.feature_groups(
@@ -743,6 +820,8 @@ class SlamSystem:
                 self.map, self.loop_state, accepted = loop_closing.close_step(
                     self.map, self.loop_state, kf_id, jnp.asarray(cand_i, jnp.int32),
                     self.caps, self.camera, self.scale_factors, g_curr, g_cand,
+                    kf_gen_expect=kf_gen,
+                    cand_gen_expect=jnp.asarray(gen_i, jnp.int32),
                 )
                 if not bool(np.asarray(accepted)):
                     continue
@@ -761,31 +840,17 @@ class SlamSystem:
         if self.enable_loop_closing:
             self._drain_loop_queue(final=True)
         outs = jax.device_get(self._outs)
-        kf_pose = np.asarray(self.map.kf_pose)
-        kf_valid = np.asarray(self.map.kf_valid)
-        kf_gen = np.asarray(self.map.kf_gen)
-        cull_parent = np.asarray(self.map.cull_parent)
-        kf_tcp = np.asarray(self.map.kf_tcp)
+        arrays = {
+            k: np.asarray(getattr(self.map, k))
+            for k in ("kf_pose", "kf_valid", "kf_gen", "cull_parent",
+                      "cull_parent_gen", "cull_gen", "kf_tcp")
+        }
         traj, stats = [], []
         for o in outs:
-            ref = int(o.ref_kf)
-            gen = int(o.ref_gen)
-            T_cr = np.asarray(o.T_cr)
-            # bad-KF recovery through the Tcp parent chain (vo_run.cpp:207-226).
-            # A slot whose generation advanced was culled and REUSED: the
-            # archived (kf_tcp, cull_parent) pair still describes the culled
-            # generation, so the walk continues through it.
-            T_rp = np.eye(4, dtype=np.float32)
-            hops = 0
-            while ref >= 0 and (not kf_valid[ref] or kf_gen[ref] != gen) and hops < 64:
-                T_rp = T_rp @ kf_tcp[ref]
-                ref = int(cull_parent[ref])
-                gen = -1 if ref < 0 else int(kf_gen[ref])  # accept the live gen
-                hops += 1
-            if ref >= 0 and kf_valid[ref]:
-                T_c_w = T_cr @ T_rp @ kf_pose[ref]
-            else:
-                T_c_w = np.asarray(o.T_c_w)
+            T_c_w = recover_frame_pose(
+                int(o.ref_kf), int(o.ref_gen), np.asarray(o.T_cr),
+                np.asarray(o.T_c_w), **arrays,
+            )
             traj.append(np.linalg.inv(T_c_w))
             stats.append(
                 TrackStats(
@@ -793,9 +858,10 @@ class SlamSystem:
                     n_inliers=int(o.n_inliers), ok=bool(o.ok),
                 )
             )
+        kf_ts = np.asarray(self.map.kf_timestamp)
         kf_traj = [
-            (float(np.asarray(self.map.kf_timestamp)[k]), np.linalg.inv(kf_pose[k]))
-            for k in range(kf_pose.shape[0]) if kf_valid[k]
+            (float(kf_ts[k]), np.linalg.inv(arrays["kf_pose"][k]))
+            for k in range(arrays["kf_pose"].shape[0]) if arrays["kf_valid"][k]
         ]
         return np.stack(traj), stats, kf_traj
 

@@ -35,26 +35,56 @@ def cull_map_points(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps) -> MapStat
     return erase_points(m, bad)
 
 
-def erase_points(m: MapState, bad: jnp.ndarray) -> MapState:
+MAX_ERASE = 4096  # dying points handled per erase call. A single chain
+# stage never kills more than a few hundred (recent-point culling windows,
+# merge losers, obs<=2 cascades); overflow leaves the excess points VALID
+# (consistent map, merely less culling) rather than corrupting state.
+
+
+def erase_points(m: MapState, bad: jnp.ndarray, max_erase: int = MAX_ERASE) -> MapState:
     """Invalidate points and unbind their keypoint slots in every observer
-    (mappoint eraseMapPoint, mappoint.cpp:362-381)."""
+    (mappoint eraseMapPoint, mappoint.cpp:362-381).
+
+    The dying set is compacted to max_erase rows first: the kf_mp unbind
+    scatter then touches [E,O] slots instead of [P,O] — the whole-table
+    scatter was ~9 ms/call on v5e and ran a dozen times per mapping chain.
+    Call sites whose dying set is structurally bounded (fuse merges: one
+    loser per candidate row) pass a tighter cap."""
     K, N = m.kf_mp.shape
-    # clear kf_mp slots via the observer lists
-    obs_kf = m.pt_obs_kf  # [P,O]
-    obs_kp = m.pt_obs_kp
-    kill = bad[:, None] & (obs_kf >= 0)
+    P, O = m.pt_obs_kf.shape
+    bad = bad & m.pt_valid
+    pos = jnp.cumsum(bad.astype(jnp.int32)) - 1
+    slot = jnp.where(bad & (pos < max_erase), pos, max_erase)
+    ids = (
+        jnp.full((max_erase + 1,), -1, jnp.int32)
+        .at[slot].set(jnp.arange(P, dtype=jnp.int32))[:max_erase]
+    )
+    ok = ids >= 0
+    sid = jnp.maximum(ids, 0)
+    # the compacted subset IS the effective dying set (cap overflow keeps
+    # the rest alive, see MAX_ERASE note)
+    bad_eff = jnp.zeros((P,), bool).at[jnp.where(ok, sid, P - 1)].max(ok)
+    bad_eff = bad_eff.at[P - 1].set(False)
+
+    obs_kf = m.pt_obs_kf[sid]   # [E,O]
+    obs_kp = m.pt_obs_kp[sid]
+    kill = ok[:, None] & (obs_kf >= 0)
     kf_w = jnp.where(kill, obs_kf, K - 1).reshape(-1)
     kp_w = jnp.where(kill, obs_kp, N - 1).reshape(-1)
     # only clear where the slot actually references the dying point
-    P = bad.shape[0]
-    pt_of = jnp.broadcast_to(jnp.arange(P)[:, None], kill.shape).reshape(-1)
+    pt_of = jnp.broadcast_to(sid[:, None], kill.shape).reshape(-1)
     hit = kill.reshape(-1) & (m.kf_mp[kf_w, kp_w] == pt_of)
+    rows = jnp.where(ok, sid, P - 1)
     m = m.replace(
         kf_mp=m.kf_mp.at[kf_w, kp_w].set(jnp.where(hit, -1, m.kf_mp[kf_w, kp_w])),
-        pt_valid=m.pt_valid & ~bad,
-        pt_obs_kf=jnp.where(bad[:, None], -1, m.pt_obs_kf),
-        pt_obs_kp=jnp.where(bad[:, None], -1, m.pt_obs_kp),
-        pt_obs_cnt=jnp.where(bad, 0, m.pt_obs_cnt),
+        pt_valid=m.pt_valid & ~bad_eff,
+        pt_obs_kf=m.pt_obs_kf.at[rows].set(
+            jnp.where(ok[:, None], -1, m.pt_obs_kf[rows])
+        ),
+        pt_obs_kp=m.pt_obs_kp.at[rows].set(
+            jnp.where(ok[:, None], -1, m.pt_obs_kp[rows])
+        ),
+        pt_obs_cnt=m.pt_obs_cnt.at[rows].set(jnp.where(ok, 0, m.pt_obs_cnt[rows])),
     )
     return m
 
@@ -86,24 +116,53 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
     has = (pt >= 0) & m.kf_kp_valid[cid]
     close = has & (m.kf_depth[cid] > 0) & (m.kf_depth[cid] <= cam.th_depth)
     safe_pt = jnp.maximum(pt, 0)
-    obs_kf = m.pt_obs_kf                            # [P,O]
-    obs_kp = m.pt_obs_kp
-    obs_ok = obs_kf >= 0
-    # per-candidate observer octaves: gather [C,N,O]
-    oct_b = m.kf_octave[
-        jnp.maximum(obs_kf[safe_pt], 0), jnp.maximum(obs_kp[safe_pt], 0)
-    ]                                               # [C,N,O]
-    kf_b = obs_kf[safe_pt]
-    lvl = m.kf_octave[cid] + 1                      # [C,N]
-    cnt = jnp.sum(
-        (
-            obs_ok[safe_pt]
-            & (oct_b <= lvl[:, :, None])
-            & (kf_b != cid[:, None, None])
-        ).astype(jnp.int32),
-        axis=-1,
-    )  # [C,N]
+
+    # The redundancy count and the post-cull observation removal both only
+    # touch points BOUND TO A CANDIDATE (every observation of keyframe c
+    # lives on a point in kf_mp[c] by the add/erase invariants). Compact
+    # that union to E rows: the whole-table [P,O] / [C,N,O] gathers this
+    # replaces were ~13 ms of the 22 ms call on v5e. E overflow merely
+    # undercounts redundancy (fewer culls) — never corrupts.
+    E = 8192
+    O = m.pt_obs_kf.shape[1]
+    bound = jnp.zeros((P,), bool).at[jnp.where(has, pt, P - 1).reshape(-1)].max(
+        has.reshape(-1)
+    ).at[P - 1].set(False)
+    bound &= m.pt_valid
+    epos = jnp.cumsum(bound.astype(jnp.int32)) - 1
+    eslot_w = jnp.where(bound & (epos < E), epos, E)
+    eids = (
+        jnp.full((E + 1,), -1, jnp.int32)
+        .at[eslot_w].set(jnp.arange(P, dtype=jnp.int32))[:E]
+    )
+    e_ok = eids >= 0
+    esafe = jnp.maximum(eids, 0)
+    # inverse map point id -> compact slot (E = absent); invalid rows dump
+    # to P-1 (never in the bound set) to avoid scatter collisions
+    eslot = jnp.full((P,), E, jnp.int32).at[jnp.where(e_ok, esafe, P - 1)].set(
+        jnp.where(e_ok, jnp.arange(E, dtype=jnp.int32), E)
+    )
+
+    obs_kf_e = m.pt_obs_kf[esafe]                   # [E,O]
+    obs_kp_e = m.pt_obs_kp[esafe]
+    obs_ok_e = e_ok[:, None] & (obs_kf_e >= 0)
+    oct_e = m.kf_octave[jnp.maximum(obs_kf_e, 0), jnp.maximum(obs_kp_e, 0)]
+
+    # cumulative octave histogram per point: cum[e, l] = #observers with
+    # octave <= l. The per-candidate count "observers at <= own octave + 1,
+    # excluding the candidate" is then cum[pt, min(lvl,7)] - 1 (the
+    # candidate's own observation always satisfies oct <= oct+1).
+    n_lvl = 8
+    cum = jnp.sum(
+        (oct_e[:, :, None] <= jnp.arange(n_lvl)[None, None, :])
+        & obs_ok_e[:, :, None],
+        axis=1,
+    ).astype(jnp.int32)                             # [E, n_lvl]
+    cum_p = jnp.concatenate([cum, jnp.zeros((1, n_lvl), jnp.int32)])  # pad row
+    lvl = jnp.clip(m.kf_octave[cid] + 1, 0, n_lvl - 1)  # [C,N]
+    cnt = cum_p[eslot[safe_pt], lvl] - 1            # [C,N]
     well_obs = close & (m.pt_obs_cnt[safe_pt] > min_obs) & (cnt >= min_obs)
+    well_obs &= eslot[safe_pt] < E                  # uncounted (overflow) rows
 
     mp_cnt = jnp.sum(close.astype(jnp.int32), axis=1)
     re_obs = jnp.sum(well_obs.astype(jnp.int32), axis=1)
@@ -112,15 +171,45 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
     cull &= connected
 
     # ---- erase culled keyframes -------------------------------------------
-    # remove their observations from points
-    kill_obs = cull[jnp.maximum(obs_kf, 0)] & obs_ok      # [P,O]
+    # remove their observations from points. Every observation of a culled
+    # keyframe lives on a point bound in its kf_mp row (add/erase
+    # invariants), so compacting the CULLED candidates' bound points — at
+    # most n_culled x N, and n_culled is almost always 0-2 — covers the
+    # whole kill set with a tight [E2,O] working set.
+    E2 = 4096
+    kill_bound = has & cull_c[:, None]              # [C,N]
+    bound2 = (
+        jnp.zeros((P,), bool)
+        .at[jnp.where(kill_bound, pt, P - 1).reshape(-1)]
+        .max(kill_bound.reshape(-1))
+        .at[P - 1].set(False)
+    )
+    kpos = jnp.cumsum(bound2.astype(jnp.int32)) - 1
+    kslot_w = jnp.where(bound2 & (kpos < E2), kpos, E2)
+    kids = (
+        jnp.full((E2 + 1,), -1, jnp.int32)
+        .at[kslot_w].set(jnp.arange(P, dtype=jnp.int32))[:E2]
+    )
+    k_ok = kids >= 0
+    ksafe = jnp.maximum(kids, 0)
+    obs_kf_k = m.pt_obs_kf[ksafe]                   # [E2,O]
+    obs_kp_k = m.pt_obs_kp[ksafe]
+    obs_ok_k = k_ok[:, None] & (obs_kf_k >= 0)
+    kill_k = cull[jnp.maximum(obs_kf_k, 0)] & obs_ok_k
+    krows = jnp.where(k_ok, ksafe, P - 1)
     m = m.replace(
-        pt_obs_kf=jnp.where(kill_obs, -1, obs_kf),
-        pt_obs_kp=jnp.where(kill_obs, -1, obs_kp),
-        pt_obs_cnt=m.pt_obs_cnt - jnp.sum(kill_obs.astype(jnp.int32), axis=1),
+        pt_obs_kf=m.pt_obs_kf.at[krows].set(jnp.where(kill_k, -1, obs_kf_k)),
+        pt_obs_kp=m.pt_obs_kp.at[krows].set(jnp.where(kill_k, -1, obs_kp_k)),
+        pt_obs_cnt=m.pt_obs_cnt.at[krows].add(
+            -jnp.sum(kill_k.astype(jnp.int32), axis=1)
+        ),
     )
     # points left with obs<=2 from an erase die too (mappoint.cpp:353)
-    touched = jnp.any(kill_obs, axis=1)
+    touched = (
+        jnp.zeros((P,), bool)
+        .at[krows].max(jnp.any(kill_k, axis=1))
+        .at[P - 1].set(False)
+    )
     m = erase_points(m, touched & (m.pt_obs_cnt <= 2) & m.pt_valid)
 
     # Tcp for trajectory recovery + spanning-tree reparenting
@@ -146,6 +235,14 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
         # array mutates (reparenting, slot reuse) but trajectory recovery
         # through a culled keyframe needs the chain as it was at cull time
         cull_parent=jnp.where(cull, parent, m.cull_parent),
+        # ...and the parent's generation: if the parent slot is later culled
+        # and reused, the archived (kf_tcp, cull_parent) of THAT slot
+        # describes a different keyframe chain — the recovery walk checks
+        # this and declines to compose a wrong pose
+        cull_parent_gen=jnp.where(
+            cull, jnp.where(parent >= 0, m.kf_gen[safe_par], -1), m.cull_parent_gen
+        ),
+        cull_gen=jnp.where(cull, m.kf_gen, m.cull_gen),
         loop_edges=m.loop_edges & ~cull[:, None] & ~cull[None, :],
     )
     return m

@@ -39,7 +39,9 @@ def _compact_ids(mask: jnp.ndarray, size: int) -> jnp.ndarray:
     )[:size]
 
 
-@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("caps", "max_cand"), donate_argnums=(0,)
+)
 def fuse_into_keyframe(
     m: MapState,
     kf_id: jnp.ndarray,
@@ -48,7 +50,12 @@ def fuse_into_keyframe(
     cam: Camera,
     scale_factors: jnp.ndarray,
     threshold: float = 3.0,
+    max_cand: int = MAX_FUSE,
 ) -> MapState:
+    """max_cand sizes the compacted candidate set (and so the
+    [max_cand, N] distance matrix — the dominant cost). Fusing ONE
+    keyframe's points into a neighbor needs only N rows; the default
+    MAX_FUSE covers multi-keyframe candidate unions."""
     P = caps.max_pt
     N = caps.n_feat
     K = m.kf_valid.shape[0]
@@ -81,7 +88,7 @@ def fuse_into_keyframe(
         0, scale_factors.shape[0] - 1,
     )
 
-    ids = _compact_ids(cand, MAX_FUSE)
+    ids = _compact_ids(cand, max_cand)
     ok = ids >= 0
     sid = jnp.maximum(ids, 0)
     c_u, c_v, c_ur = u[sid], v[sid], ur[sid]
@@ -113,11 +120,11 @@ def fuse_into_keyframe(
     matched = best_d <= TH_LOW
 
     # dedup per keypoint: lowest candidate slot wins
-    src_ids = jnp.arange(MAX_FUSE, dtype=jnp.int32)
+    src_ids = jnp.arange(max_cand, dtype=jnp.int32)
     claim = (
-        jnp.full((N + 1,), MAX_FUSE, jnp.int32)
+        jnp.full((N + 1,), max_cand, jnp.int32)
         .at[jnp.where(matched, best, N)]
-        .min(jnp.where(matched, src_ids, MAX_FUSE))[:N]
+        .min(jnp.where(matched, src_ids, max_cand))[:N]
     )
     matched &= claim[jnp.maximum(best, 0)] == src_ids
 
@@ -214,10 +221,10 @@ def _replace_points(m: MapState, loser: jnp.ndarray, winner: jnp.ndarray, mask: 
             jnp.where(mask, jnp.sum(can.astype(jnp.int32), axis=1), 0)
         ),
     )
-    # erase losers
+    # erase losers (at most one per merge row — n bounds the dying set)
     bad = jnp.zeros((P,), bool).at[jnp.where(mask, loser, P - 1)].max(mask)
     bad = bad.at[P - 1].set(False)
-    return erase_points(m, bad)
+    return erase_points(m, bad, max_erase=min(loser.shape[0], 1024))
 
 
 def two_hop_neighbors(m: MapState, kf_id: jnp.ndarray) -> jnp.ndarray:
@@ -262,7 +269,9 @@ def search_in_neighbors(
         return jax.lax.cond(
             nb >= 0,
             lambda m: fuse_into_keyframe(
-                m, jnp.maximum(nb, 0), curr_pts, caps, cam, scale_factors
+                m, jnp.maximum(nb, 0), curr_pts, caps, cam, scale_factors,
+                # candidates are ONE keyframe's points: N rows suffice
+                max_cand=caps.n_feat,
             ),
             lambda m: m,
             m,

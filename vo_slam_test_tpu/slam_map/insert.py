@@ -79,7 +79,25 @@ def insert_keyframe(
     bow_word: jnp.ndarray = None,    # [N] i32 sorted unique words
     bow_weight: jnp.ndarray = None,  # [N] f32 normalized weights
 ) -> Tuple[MapState, jnp.ndarray]:
-    """Returns (new map, kf_id)."""
+    """Returns (new map, kf_id); kf_id = -1 (map untouched) when every slot
+    is live — argmax(~kf_valid) would otherwise silently overwrite slot 0,
+    the gauge keyframe, if a future call site forgot the capacity gate."""
+    can = (m.n_kf < m.kf_valid.shape[0]) | jnp.any(~m.kf_valid)
+    return jax.lax.cond(
+        can,
+        lambda m: _insert_keyframe(
+            m, caps, feats, T_c_w, timestamp, frame_id, assign, create_mask,
+            cam, scale_factors, words, bow_word, bow_weight,
+        ),
+        lambda m: (m, jnp.asarray(-1, jnp.int32)),
+        m,
+    )
+
+
+def _insert_keyframe(
+    m, caps, feats, T_c_w, timestamp, frame_id, assign, create_mask,
+    cam, scale_factors, words, bow_word, bow_weight,
+):
     N = caps.n_feat
     P = caps.max_pt
     K = m.kf_valid.shape[0]
@@ -95,6 +113,8 @@ def insert_keyframe(
         kf_pose=m.kf_pose.at[kf_id].set(T_c_w),
         kf_valid=m.kf_valid.at[kf_id].set(True),
         kf_gen=m.kf_gen.at[kf_id].add(1),
+        kf_seq=m.kf_seq.at[kf_id].set(m.n_kf_ever),
+        n_kf_ever=m.n_kf_ever + 1,
         loop_edges=m.loop_edges.at[kf_id, :].set(False).at[:, kf_id].set(False),
         kf_timestamp=m.kf_timestamp.at[kf_id].set(timestamp),
         kf_frame_id=m.kf_frame_id.at[kf_id].set(frame_id),
@@ -141,6 +161,7 @@ def insert_keyframe(
         pt_max_dist=m.pt_max_dist.at[new_ids_safe].set(jnp.where(in_cap, max_d, m.pt_max_dist[new_ids_safe])),
         pt_ref_kf=m.pt_ref_kf.at[new_ids_safe].set(jnp.where(in_cap, kf_id, m.pt_ref_kf[new_ids_safe])),
         pt_valid=m.pt_valid.at[new_ids_safe].set(jnp.where(in_cap, True, m.pt_valid[new_ids_safe])),
+        pt_gen=m.pt_gen.at[new_ids_safe].add(in_cap.astype(jnp.int32)),
         pt_found=m.pt_found.at[new_ids_safe].set(jnp.where(in_cap, 1, m.pt_found[new_ids_safe])),
         pt_visible=m.pt_visible.at[new_ids_safe].set(jnp.where(in_cap, 1, m.pt_visible[new_ids_safe])),
         n_pt=jnp.minimum(m.n_pt + jnp.sum(in_cap.astype(jnp.int32)), P),

@@ -161,7 +161,26 @@ def search_local_points(
     P = m.pt_valid.shape[0]
     N = tgt_valid.shape[0]
 
-    # compact the candidate set FIRST, then project only those rows
+    R = T_c_w[:3, :3]
+    t = T_c_w[:3, 3]
+
+    # cheap whole-table frustum pre-gate (z>0, inside the image) BEFORE
+    # compaction: when local candidates exceed MAX_LOCAL_PTS, out-of-view
+    # points must not occupy compacted slots and displace in-frame ones
+    # (and visible_mask must count in-frame points, not slot survivors).
+    # One [P,3] matmul — negligible next to the Hamming matrix below.
+    pc_all = m.pt_pos @ R.T + t
+    z_all = pc_all[:, 2]
+    sz_all = jnp.where(jnp.abs(z_all) < 1e-9, 1e-9, z_all)
+    u_all = cam.fx * pc_all[:, 0] / sz_all + cam.cx
+    v_all = cam.fy * pc_all[:, 1] / sz_all + cam.cy
+    candidate_mask = candidate_mask & (
+        (z_all > 0)
+        & (u_all >= 0) & (u_all <= cam.width)
+        & (v_all >= 0) & (v_all <= cam.height)
+    )
+
+    # compact the candidate set, then run the full isInFrame on those rows
     pos = jnp.cumsum(candidate_mask.astype(jnp.int32)) - 1
     slot = jnp.where(candidate_mask & (pos < MAX_LOCAL_PTS), pos, MAX_LOCAL_PTS)
     pt_ids = jnp.arange(P, dtype=jnp.int32)

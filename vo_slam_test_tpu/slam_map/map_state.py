@@ -72,6 +72,19 @@ class MapState:
     kf_gen: jnp.ndarray        # [K] i32 slot generation (bumped on insert;
                                # distinguishes a reused slot from the
                                # keyframe a frame originally referenced)
+    kf_seq: jnp.ndarray        # [K] i32 monotonic insertion sequence number
+                               # (the reference's KeyFrame::id_ — slot ids
+                               # stop being creation-ordered once recycling
+                               # starts, but loop cadence and "recent KF"
+                               # logic need creation order)
+    cull_parent_gen: jnp.ndarray  # [K] i32 kf_gen of cull_parent at cull
+                               # time; trajectory recovery must refuse to
+                               # compose through a parent slot that was
+                               # itself culled and reused since
+    cull_gen: jnp.ndarray      # [K] i32 kf_gen of the generation the
+                               # (kf_tcp, cull_parent) archive describes —
+                               # the archive holds only the most recent
+                               # culled generation per slot
     loop_edges: jnp.ndarray    # [K,K] bool loop-closure edges (keyframe.cpp:528-533)
     # -- map points (mappoint.h:13-94) --------------------------------------
     pt_pos: jnp.ndarray        # [P,3] f32
@@ -86,9 +99,13 @@ class MapState:
     pt_found: jnp.ndarray      # [P] i32 (mappoint.cpp:269-279)
     pt_visible: jnp.ndarray    # [P] i32
     pt_valid: jnp.ndarray      # [P] bool
+    pt_gen: jnp.ndarray        # [P] i32 slot generation (bumped on spawn;
+                               # a recycled slot must not silently rebind a
+                               # stale reference to a different landmark)
     # -- allocators ---------------------------------------------------------
     n_kf: jnp.ndarray          # i32 scalar
     n_pt: jnp.ndarray          # i32 scalar
+    n_kf_ever: jnp.ndarray     # i32 scalar: next kf_seq to assign
 
 
 def empty_map(caps: MapCaps) -> MapState:
@@ -114,7 +131,10 @@ def empty_map(caps: MapCaps) -> MapState:
         parent=jnp.full((K,), -1, jnp.int32),
         kf_tcp=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
         cull_parent=jnp.full((K,), -1, jnp.int32),
+        cull_parent_gen=jnp.full((K,), -1, jnp.int32),
+        cull_gen=jnp.full((K,), -1, jnp.int32),
         kf_gen=f((K,), jnp.int32),
+        kf_seq=jnp.full((K,), -1, jnp.int32),
         loop_edges=f((K, K), bool),
         pt_pos=f((P, 3)),
         pt_normal=f((P, 3)),
@@ -128,8 +148,10 @@ def empty_map(caps: MapCaps) -> MapState:
         pt_found=f((P,), jnp.int32),
         pt_visible=f((P,), jnp.int32),
         pt_valid=f((P,), bool),
+        pt_gen=f((P,), jnp.int32),
         n_kf=jnp.asarray(0, jnp.int32),
         n_pt=jnp.asarray(0, jnp.int32),
+        n_kf_ever=jnp.asarray(0, jnp.int32),
     )
 
 

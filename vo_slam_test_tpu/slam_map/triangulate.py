@@ -258,6 +258,7 @@ def create_new_map_points(
         pt_max_dist=m.pt_max_dist.at[rows].set(jnp.where(in_cap, max_d, m.pt_max_dist[rows])),
         pt_ref_kf=m.pt_ref_kf.at[rows].set(jnp.where(in_cap, kf_id, m.pt_ref_kf[rows])),
         pt_valid=m.pt_valid.at[rows].set(jnp.where(in_cap, True, m.pt_valid[rows])),
+        pt_gen=m.pt_gen.at[rows].add(in_cap.astype(jnp.int32)),
         pt_found=m.pt_found.at[rows].set(jnp.where(in_cap, 1, m.pt_found[rows])),
         pt_visible=m.pt_visible.at[rows].set(jnp.where(in_cap, 1, m.pt_visible[rows])),
         n_pt=jnp.minimum(m.n_pt + jnp.sum(in_cap.astype(jnp.int32)), P),

@@ -436,6 +436,10 @@ def _lm_pass_ol(
         points = jnp.where(improved, points_new, points)
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), jnp.minimum(lam * 4.0, 1e8))
         done = jnp.maximum(jnp.max(jnp.abs(dx_pose)), jnp.max(jnp.abs(dx_pt))) < 1e-7
+        # Ceres-style function tolerance (the reference's Solver default,
+        # 1e-6 relative decrease): saves the tail iterations whose cost is
+        # pure launch overhead once converged
+        done |= improved & ((c_old - c_new) < 1e-6 * jnp.maximum(c_old, 1e-12))
         return poses, points, lam, it + 1, done
 
     def cond(state):
@@ -499,6 +503,12 @@ def _lm_pass_pallas(
         points = jnp.where(improved, points_new, points)
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), jnp.minimum(lam * 4.0, 1e8))
         done = jnp.maximum(jnp.max(jnp.abs(dx_pose)), jnp.max(jnp.abs(dx_pt))) < 1e-7
+        # Ceres-style function tolerance (1e-6 relative decrease), see
+        # _lm_pass_ol
+        done |= improved & (
+            (cost_old[0, 0] - cost_new[0, 0])
+            < 1e-6 * jnp.maximum(cost_old[0, 0], 1e-12)
+        )
         return poses, points, lam, it + 1, done
 
     def cond(state):
@@ -526,19 +536,34 @@ def local_bundle_adjust(
     caps: MapCaps,
     cam: Camera,
     inv_level_sigma2: jnp.ndarray | None = None,
+    stop: jnp.ndarray | None = None,
 ) -> MapState:
-    """Run windowed local BA around center_kf and write results into the map."""
+    """Run windowed local BA around center_kf and write results into the map.
+
+    stop: optional device bool — the reference's interruptBA analogue
+    (localMapping.cpp:538-541, checked inside Ceres at
+    optimizer_ceres.cpp:594,612): when set, each LM pass is bounded to a
+    single iteration so a backlogged mapping worker can yield quickly; the
+    outlier classification and write-back still run, leaving the map
+    consistent."""
     prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
 
+    if stop is None:
+        it1, it2 = 5, 10
+    else:
+        stop_i = stop.astype(jnp.int32)
+        it1 = jnp.where(stop_i > 0, 1, 5)
+        it2 = jnp.where(stop_i > 0, 1, 10)
+
     # pass 1: Huber, 5 iters (optimizer_ceres.cpp:597-607)
     wk = min(W_KF, m.kf_valid.shape[0])
     lm_pass = _lm_pass_pallas if jax.default_backend() == "tpu" else _lm_pass_ol
-    poses, points = lm_pass(poses, points, prob, cam, prob.o_valid, True, 5, wk)
+    poses, points = lm_pass(poses, points, prob, cam, prob.o_valid, True, it1, wk)
     inl = _classify_ol(poses, points, prob, cam)
     # pass 2: inliers only, 10 iters, no loss (:659-668)
-    poses, points = lm_pass(poses, points, prob, cam, inl, False, 10, wk)
+    poses, points = lm_pass(poses, points, prob, cam, inl, False, it2, wk)
     final_inl = _classify_ol(poses, points, prob, cam)
 
     # ---- write back window poses + point positions -------------------------
