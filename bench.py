@@ -32,7 +32,8 @@ import time
 import numpy as np
 
 BASELINE_MS = 70.0
-BG_EXECUTABLES = ("background_step", "close_step", "global_bundle")
+CHUNK = 8  # frames per scanned tracking dispatch (throughput mode)
+BG_EXECUTABLES = ("background", "close_step", "global_bundle")
 
 
 def background_device_ms(trace_dir):
@@ -100,7 +101,7 @@ def main():
     voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=0)
 
     def make():
-        return SlamSystem(cfg, vocabulary=voc)
+        return SlamSystem(cfg, vocabulary=voc, chunk=CHUNK)
 
     def run(tracker):
         t0 = time.perf_counter()

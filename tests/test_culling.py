@@ -148,3 +148,62 @@ class TestCullKeyframes:
         cnt = np.asarray(m2.pt_obs_cnt)
         live = np.asarray(m2.pt_valid)
         np.testing.assert_array_equal((obs[live] >= 0).sum(1), cnt[live])
+
+
+class TestCovisibleReparenting:
+    """keyframe.cpp:431-483: children of a culled keyframe attach greedily
+    to the highest-weight covisible candidate (candidate set = culled KF's
+    parent + already-attached children), so a child covisible only with its
+    sibling chains off the sibling instead of collapsing onto the
+    grandparent."""
+
+    def test_child_chains_off_sibling(self):
+        m, cam = build(CAPS, n_kf=10, n_pt=500, seed=4)
+        curr = int(np.asarray(m.n_kf)) - 1
+        covis = np.asarray(m.covis).copy()
+        cands = [
+            c for c in range(1, curr)
+            if covis[curr, c] > 0 and bool(np.asarray(m.kf_valid)[c])
+        ]
+        c = cands[0]
+        # force c redundant (same construction as the cull test above)
+        octv = np.asarray(m.kf_octave).copy()
+        octv[c] = 7
+        depth = np.asarray(m.kf_depth).copy()
+        kf_mp = np.asarray(m.kf_mp)
+        weak = (kf_mp[c] >= 0) & (
+            np.asarray(m.pt_obs_cnt)[np.maximum(kf_mp[c], 0)] <= 3
+        )
+        depth[c, weak] = float(cam.th_depth) + 1.0
+
+        # two children of c; x1 covisible with the grandparent g, x2
+        # covisible ONLY with x1
+        parent = np.asarray(m.parent).copy()
+        g = parent[c]
+        assert g >= 0
+        x1, x2 = [k for k in range(1, 10) if k not in (c, g)][:2]
+        parent[x1] = c
+        parent[x2] = c
+        covis[x1, g] = covis[g, x1] = 50
+        covis[x2, :] = covis[:, x2] = 0
+        covis[x2, x1] = covis[x1, x2] = 40
+        covis[x2, c] = covis[c, x2] = 30   # link to the dying KF: ignored
+        m = m.replace(
+            kf_octave=jnp.asarray(octv), kf_depth=jnp.asarray(depth),
+            parent=jnp.asarray(parent), covis=jnp.asarray(covis),
+        )
+        expect = oracle_cull(m, curr, cam)
+        assert expect[c], "c must be culled for the scenario to exercise"
+
+        pose = np.asarray(m.kf_pose).copy()  # m is donated below
+        m2 = culling.cull_keyframes(m, jnp.asarray(curr, jnp.int32), CAPS, cam)
+        assert not bool(np.asarray(m2.kf_valid)[c])
+        p2 = np.asarray(m2.parent)
+        assert p2[x1] == g, (p2[x1], g)
+        assert p2[x2] == x1, (p2[x2], x1)   # chained, not grandparented
+        # Tcp archive for trajectory recovery through c
+        assert np.asarray(m2.cull_parent)[c] == g
+        tcp = np.asarray(m2.kf_tcp)[c]
+        np.testing.assert_allclose(
+            tcp, pose[c] @ np.linalg.inv(pose[g]), atol=1e-5
+        )

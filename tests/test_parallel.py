@@ -109,3 +109,50 @@ class TestSharded:
             np.asarray(Hll), Hll_r, atol=1e-4 * max(np.abs(Hll_r).max(), 1.0))
         np.testing.assert_allclose(
             np.asarray(bl), bl_r, atol=1e-4 * max(np.abs(bl_r).max(), 1.0))
+
+
+class TestProductionLocalBAMesh:
+    """local_bundle_adjust_mesh == local_bundle_adjust on a synthetic map:
+    the PRODUCTION solver (Huber two-pass LM, chi2 erasure, obs<=2
+    invalidation) executed with its L axis sharded over the 8-device mesh
+    must reproduce the single-device result (same problem, same semantics;
+    only float summation order differs across the psum)."""
+
+    def test_mesh_matches_single_device(self):
+        import sys as _sys
+        _sys.path.insert(0, "/root/repo/tools")
+        from synth_map import build
+
+        from vo_slam_test_tpu.slam_map.map_state import MapCaps
+        from vo_slam_test_tpu.solvers.local_ba import (
+            local_bundle_adjust, local_bundle_adjust_mesh,
+        )
+
+        caps = MapCaps(max_kf=16, max_pt=1024, max_obs=8, n_feat=128)
+        m, cam = build(caps, n_kf=8, n_pt=300, seed=11)
+        poses = np.asarray(m.kf_pose).copy()
+        poses[7, 0, 3] += 0.04
+        poses[6, 1, 3] -= 0.02
+        m = m.replace(kf_pose=jnp.asarray(poses))
+        kid = jnp.asarray(7, jnp.int32)
+        copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
+
+        m_single = local_bundle_adjust(copy(m), kid, caps, cam)
+        mesh = make_obs_mesh(8)
+        m_mesh = local_bundle_adjust_mesh(copy(m), kid, caps, cam, mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(m_mesh.kf_pose), np.asarray(m_single.kf_pose),
+            atol=5e-4,
+        )
+        live = np.asarray(m_single.pt_valid) & np.asarray(m_mesh.pt_valid)
+        np.testing.assert_allclose(
+            np.asarray(m_mesh.pt_pos)[live], np.asarray(m_single.pt_pos)[live],
+            atol=5e-3,
+        )
+        # outlier-erasure bookkeeping must agree
+        np.testing.assert_array_equal(
+            np.asarray(m_mesh.pt_obs_cnt), np.asarray(m_single.pt_obs_cnt)
+        )
+        # both runs actually corrected the perturbed pose
+        assert np.abs(np.asarray(m_mesh.kf_pose)[7] - poses[7]).max() > 1e-4

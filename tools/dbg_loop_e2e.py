@@ -13,19 +13,22 @@ from test_loop_e2e import drift_island, se3
 import numpy as _np
 
 def pan_trajectory():
-    # settle: a lateral mini-sweep — each keyframe sees ~70% of its
-    # neighbors' points (multi-observer protection against recent-point
-    # culling) without tripping the >90% redundancy keyframe cull
+    # settle: a LONG lateral sweep over the back wall — 14 keyframes'
+    # worth, so the revisit keyframes land past the reference's
+    # kf_seq >= last_loop + 10 detection gate (loopClosing.cpp:63-67)
+    # with room for 3+ consecutive detection rounds; each keyframe sees
+    # ~70% of its neighbors' points (multi-observer protection against
+    # recent-point culling) without tripping the >90% redundancy cull
     settle = [se3(tx=0.13 * i, ty=0.015 * (i % 2), ry=-0.03 * i)
-              for i in range(8)]
+              for i in range(14)]
     yaws = (
         [0.1 + 0.133 * i for i in range(12)]
         + [1.7] * 4
         + [1.7 - 0.133 * i for i in range(12)]
         + [0.1 - 0.02 * i for i in range(4)]
     )
-    home = [se3(tx=0.45 + 0.2 * _np.sin(0.9 * i + 2), ty=0.015 * i,
-                ry=-0.1 + 0.03 * _np.sin(1.3 * i))
+    home = [se3(tx=0.45 + 0.25 * _np.sin(0.9 * i + 2), ty=0.02 * i,
+                ry=-0.15 + 0.12 * _np.sin(1.3 * i))
             for i in range(14)]
     return _np.stack(
         settle + [se3(tx=0.05 * _np.sin(3 * y), ry=y) for y in yaws] + home)
@@ -44,7 +47,7 @@ cfg = SlamConfig(camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy
                  camera_fps=3)
 ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
 descs = []
-for i in (0, 10, 17, 21, 30, 38):
+for i in (0, 12, 20, 26, 36, 44):
     g, d, _ = seq[i]
     f = ext(g, d)
     descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
@@ -66,16 +69,16 @@ cut_done = False
 for i in range(len(seq)):
     g, d, ts = seq[i]
     sys_.track(g, d, ts)
-    if i == 14:
+    if i == 20:
         kf_cut = int(np.asarray(sys_.map.n_kf))
         print(f"frame {i}: island cut recorded kf_cut={kf_cut}")
-    if i == 21 and not cut_done:
+    if i == 27 and not cut_done:
         nk, npts = drift_island(sys_, kf_cut, drift)
         # also shift the tracking state if its ref KF is in the island:
         # T_cr is relative so it follows the ref pose automatically
         print(f"frame {i}: drift injected over {nk} KFs, {npts} pts")
         cut_done = True
-    if i in (6, 12, 19, 26, 33, 40, 47):
+    if i in (6, 13, 20, 27, 34, 41, 48, 55):
         mm = sys_.map
         ref = np.asarray(mm.pt_ref_kf); pv = np.asarray(mm.pt_valid)
         old = pv & (ref >= 0) & (ref <= 3)

@@ -124,10 +124,7 @@ def _solve_and_cull(m, feats, T_init, kp_pt, kp_temp, kp_pw, inv_level_sigma2, c
     return T, kp_pt, kp_temp, n_obs
 
 
-@functools.partial(
-    jax.jit, static_argnames=("caps", "spec", "budgets", "use_bow"), donate_argnums=(1,)
-)
-def slam_step(
+def _slam_step(
     state: SlamTrackState,
     m: MapState,
     gray: jnp.ndarray,
@@ -559,8 +556,12 @@ def slam_step(
     return jax.lax.cond(state.initialized, track_branch, init_branch, m)
 
 
-@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
-def mapping_step(
+slam_step = functools.partial(
+    jax.jit, static_argnames=("caps", "spec", "budgets", "use_bow"), donate_argnums=(1,)
+)(_slam_step)
+
+
+def _mapping_step(
     m: MapState,
     did_kf: jnp.ndarray,
     kf_id: jnp.ndarray,
@@ -596,6 +597,11 @@ def mapping_step(
     return jax.lax.cond(did_kf & (kf_id >= 0), work, lambda m: m, m)
 
 
+mapping_step = functools.partial(
+    jax.jit, static_argnames=("caps",), donate_argnums=(0,)
+)(_mapping_step)
+
+
 @functools.partial(
     jax.jit, static_argnames=("caps", "with_loop"), donate_argnums=(0, 1)
 )
@@ -618,7 +624,7 @@ def background_step(
     hardware where mapping has its own resources (the reference's extra CPU
     cores, or a dedicated second chip) it leaves the tracking path
     entirely."""
-    m = mapping_step(
+    m = _mapping_step(
         m, did_kf, kf_id, caps, cam, scale_factors, interrupt_ba=interrupt_ba
     )
     if with_loop:
@@ -629,6 +635,100 @@ def background_step(
         cand = jnp.asarray(-1, jnp.int32)
         cand_gen = jnp.asarray(-1, jnp.int32)
     return m, loop_state, cand, cand_gen
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("caps", "spec", "budgets", "use_bow"),
+    # only the map is donated: empty-state pytrees legitimately alias
+    # buffers between fields (e.g. identity poses), which XLA rejects as
+    # double donation
+    donate_argnums=(1,),
+)
+def track_chunk(
+    state: SlamTrackState,
+    m: MapState,
+    grays: jnp.ndarray,       # [K,H,W] u8
+    depths: jnp.ndarray,      # [K,H,W] u16 raw or f32 meters
+    timestamps: jnp.ndarray,  # [K] f32
+    depth_scale,
+    cam: Camera,
+    caps: MapCaps,
+    spec,
+    budgets,
+    scale_factors: jnp.ndarray,
+    inv_level_sigma2: jnp.ndarray,
+    fast_hi: float,
+    fast_lo: float,
+    max_frame_gap: int,
+    voc,
+    use_bow: bool,
+):
+    """K frames of tracking as ONE device program (lax.scan over slam_step).
+
+    Per-frame dispatch pays the host-runtime round trip K times; on a
+    tunneled runtime that overhead (~15-17 ms/frame measured: pytree
+    flatten + RPC + upload) exceeds the device compute itself. Chunking
+    amortizes it K-fold. Tracking is inherently sequential (frame n+1
+    starts from frame n's pose and bindings) — the scan keeps that exact
+    data flow on device. The mapping chain is NOT in here: it runs as the
+    separate background_chunk program, so tracking throughput stays
+    structurally independent of mapping (the reference's thread split),
+    and mapping results reach tracking with up to K frames of lag — the
+    same staleness the reference's queue-fed LocalMapping thread exhibits
+    (localMapping.cpp:16-66 drains a queue the tracker never waits on)."""
+
+    def body(carry, xs):
+        st, mm = carry
+        g, d, ts = xs
+        st, mm, out = _slam_step(
+            st, mm, g, d, ts, depth_scale, cam, caps, spec, budgets,
+            scale_factors, inv_level_sigma2, fast_hi, fast_lo,
+            max_frame_gap, voc, use_bow,
+        )
+        return (st, mm), (out, st.feats.desc, st.feats.valid)
+
+    (state, m), (outs, descs, desc_valids) = jax.lax.scan(
+        body, (state, m), (grays, depths, timestamps)
+    )
+    return state, m, outs, descs, desc_valids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("caps", "with_loop"), donate_argnums=(0, 1)
+)
+def background_chunk(
+    m: MapState,
+    loop_state,
+    did_kf: jnp.ndarray,      # [K] bool — made_kf per chunk frame
+    kf_id: jnp.ndarray,       # [K] i32 — ref_kf per chunk frame
+    interrupt_ba: jnp.ndarray,
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+    with_loop: bool,
+):
+    """The background work for one tracked chunk: the mapping chain + loop
+    detection for every keyframe the chunk created, in creation order, as
+    one dispatch (scan; non-KF frames fall through the no-op branch)."""
+
+    def body(carry, xs):
+        mm, ls = carry
+        did, kid = xs
+        mm = _mapping_step(
+            mm, did, kid, caps, cam, scale_factors, interrupt_ba=interrupt_ba
+        )
+        if with_loop:
+            ls, cand, cand_gen = loop_closing.detect_step(mm, ls, did, kid, caps)
+        else:
+            cand = jnp.full((loop_closing.MAX_CANDS,), -1, jnp.int32)
+            cand_gen = cand
+        return (mm, ls), (cand, cand_gen)
+
+    (m, loop_state), (cands, cand_gens) = jax.lax.scan(
+        body, (m, loop_state), (did_kf, kf_id)
+    )
+    return m, loop_state, cands, cand_gens
 
 
 def recover_frame_pose(
@@ -667,6 +767,7 @@ class SlamSystem:
         caps: MapCaps = MapCaps(),
         vocabulary: Optional[bow_voc.Vocabulary] = None,
         enable_global_ba: bool = False,
+        chunk: int = 1,
     ):
         self.cfg = cfg
         self.caps = caps
@@ -694,7 +795,12 @@ class SlamSystem:
         # closure; the reference stops at the essential graph (SURVEY §2),
         # so this stays opt-in for behavioral parity by default.
         self.enable_global_ba = enable_global_ba
-        self._pending_loop: List = []   # (frame_idx, cand_device_scalar, kf_id)
+        # chunk>1: buffer frames and track them as one scanned device
+        # program (track_chunk) — the offline/throughput mode; chunk=1 is
+        # the per-frame latency mode
+        self.chunk = int(chunk)
+        self._chunk_buf: List = []      # buffered (gray, depth, timestamp)
+        self._pending_loop: List = []   # (frame_ids, packed [B, 2C+2] device)
         # interruptBA analogue (localMapping.cpp:538-541): raised by a host
         # scheduler when the background worker is backlogged; each LM pass
         # then yields after one iteration. Serialized single-chip execution
@@ -739,7 +845,16 @@ class SlamSystem:
         thread split (vo_run.cpp:72,95): the TRACKING program (slam_step),
         whose latency is the per-frame metric, and the BACKGROUND program
         (mapping chain + loop detection), which the host fires without ever
-        blocking on it — the tracking path does not wait for mapping."""
+        blocking on it — the tracking path does not wait for mapping.
+
+        chunk>1 buffers frames and runs both programs once per chunk
+        (scanned over the buffered frames) — same data flow, K-fold fewer
+        host round trips."""
+        if self.chunk > 1:
+            self._chunk_buf.append((gray, depth, timestamp))
+            if len(self._chunk_buf) >= self.chunk:
+                self._dispatch_chunk()
+            return
         self.state, self.map, out = slam_step(
             self.state, self.map,
             np.ascontiguousarray(gray), depth,
@@ -755,11 +870,11 @@ class SlamSystem:
             self.enable_loop_closing,
         )
         if self.enable_loop_closing:
-            self._pending_loop.append(
-                (self._frame_id, cand, cand_gen, out.ref_kf, out.ref_gen)
+            self._queue_loop(
+                [self._frame_id],
+                cand[None], cand_gen[None],
+                out.ref_kf[None], out.ref_gen[None],
             )
-            if len(self._pending_loop) >= DRAIN_CHUNK:
-                self._drain_loop_queue()
         # archive per-frame descriptor refs (device-resident, no sync):
         # create_vocabulary includes the LOST frames' descriptors like the
         # reference (map.cpp:79-83, visualOdometry.cpp:115-121); whether a
@@ -769,6 +884,46 @@ class SlamSystem:
         self._outs.append(out)
         self.timestamps.append(timestamp)
         self._frame_id += 1
+
+    def _dispatch_chunk(self) -> None:
+        """Track + background the buffered frames as two scanned dispatches."""
+        buf, self._chunk_buf = self._chunk_buf, []
+        grays = np.ascontiguousarray(np.stack([g for g, _, _ in buf]))
+        depths = np.ascontiguousarray(np.stack([d for _, d, _ in buf]))
+        ts = np.asarray([t for _, _, t in buf], np.float32)
+        self.state, self.map, outs, descs, desc_valids = track_chunk(
+            self.state, self.map, grays, depths, jnp.asarray(ts),
+            self._depth_scale, self.camera, self.caps, self.spec,
+            self.budgets, self.scale_factors, self.inv_level_sigma2,
+            self.fast_hi, self.fast_lo, self.max_frame_gap,
+            self.voc, self.use_bow,
+        )
+        self.map, self.loop_state, cands, cand_gens = background_chunk(
+            self.map, self.loop_state, outs.made_kf, outs.ref_kf,
+            self._interrupt_ba, self.caps, self.camera, self.scale_factors,
+            self.enable_loop_closing,
+        )
+        k = len(buf)
+        if self.enable_loop_closing:
+            self._queue_loop(
+                list(range(self._frame_id, self._frame_id + k)),
+                cands, cand_gens, outs.ref_kf, outs.ref_gen,
+            )
+        if len(self._frame_desc) < self._desc_archive_cap:
+            self._frame_desc.append((descs, desc_valids))
+        self._outs.append(outs)  # stacked: leaves have leading dim k
+        self.timestamps.extend(t for _, _, t in buf)
+        self._frame_id += k
+
+    def _queue_loop(self, frame_ids, cands, cand_gens, ref_kfs, ref_gens):
+        """Queue one batch of per-frame loop detections (all device arrays
+        with leading dim B) for a later asynchronous readback."""
+        packed = jnp.concatenate(
+            [cands, cand_gens, ref_kfs[:, None], ref_gens[:, None]], axis=1
+        )  # [B, 2*MAX_CANDS + 2] i32
+        self._pending_loop.append((frame_ids, packed))
+        if sum(len(f) for f, _ in self._pending_loop) >= DRAIN_CHUNK:
+            self._drain_loop_queue()
 
     def _drain_loop_queue(self, final: bool = False) -> None:
         """Check past loop detections and run the heavy Sim3-verification/
@@ -790,25 +945,28 @@ class SlamSystem:
         if self._pending_loop:
             batch = self._pending_loop
             self._pending_loop = []
-            stacked = jnp.stack(
-                [jnp.concatenate([c, g]) for _, c, g, _, _ in batch]
-            )  # [B, 2*MAX_CANDS]
+            frame_ids = [f for fids, _ in batch for f in fids]
+            stacked = jnp.concatenate([p for _, p in batch], axis=0)
             try:
                 stacked.copy_to_host_async()
             except AttributeError:
                 pass
-            self._inflight_drain = (batch, stacked)
+            self._inflight_drain = (frame_ids, stacked)
         if final and self._inflight_drain is not None:
             self._process_drain(*self._inflight_drain)
             self._inflight_drain = None
 
-    def _process_drain(self, batch, stacked) -> None:
+    def _process_drain(self, frame_ids, stacked) -> None:
         arr = np.asarray(stacked)
-        k = arr.shape[1] // 2
-        cands, gens = arr[:, :k], arr[:, k:]
-        for (frame_idx, _, _, kf_id, kf_gen), crow, grow in zip(
-            batch, cands.tolist(), gens.tolist()
+        k = (arr.shape[1] - 2) // 2
+        cands, gens = arr[:, :k], arr[:, k : 2 * k]
+        kf_ids, kf_gens = arr[:, 2 * k], arr[:, 2 * k + 1]
+        for frame_idx, crow, grow, kf_id, kf_gen in zip(
+            frame_ids, cands.tolist(), gens.tolist(),
+            kf_ids.tolist(), kf_gens.tolist(),
         ):
+            kf_id = jnp.asarray(kf_id, jnp.int32)
+            kf_gen = jnp.asarray(kf_gen, jnp.int32)
             # try every enough-consistent candidate until one verifies
             # (the reference's computeSim3 loop, loopClosing.cpp:178-348)
             for cand_i, gen_i in zip(crow, grow):
@@ -835,11 +993,36 @@ class SlamSystem:
                     )
                 break
 
+    @staticmethod
+    def _per_frame(outs_np):
+        """Flatten device_get'd outs (scalar-frame or chunk-stacked)."""
+        flat = []
+        for o in outs_np:
+            if np.ndim(o.ok) == 0:
+                flat.append(o)
+            else:
+                for i in range(np.shape(o.ok)[0]):
+                    flat.append(jax.tree.map(lambda x: x[i], o))
+        return flat
+
+    def _flush(self) -> None:
+        """Track any frames still buffered in an incomplete chunk (uses the
+        per-frame program; feed multiples of `chunk` to avoid its compile)."""
+        if self._chunk_buf:
+            buf, self._chunk_buf = self._chunk_buf, []
+            chunk, self.chunk = self.chunk, 1
+            try:
+                for g, d, t in buf:
+                    self.track(g, d, t)
+            finally:
+                self.chunk = chunk
+
     def results(self):
         """Blocks; returns (trajectory T_w_c [F,4,4], stats, kf_traj)."""
+        self._flush()
         if self.enable_loop_closing:
             self._drain_loop_queue(final=True)
-        outs = jax.device_get(self._outs)
+        outs = self._per_frame(jax.device_get(self._outs))
         arrays = {
             k: np.asarray(getattr(self.map, k))
             for k in ("kf_pose", "kf_valid", "kf_gen", "cull_parent",
@@ -893,16 +1076,28 @@ class SlamSystem:
         kf_desc = np.asarray(self.map.kf_desc)
         kp_valid = np.asarray(self.map.kf_kp_valid)
         kf_descs = [kf_desc[kf][kp_valid[kf]] for kf in np.nonzero(kf_valid)[0]]
-        # lost-frame descriptors (map.cpp:79-83)
+        # lost-frame descriptors (map.cpp:79-83); archive entries may be
+        # chunk-stacked [K,N,8] — flatten both streams to per-frame order
+        frame_descs = []
+        for desc, valid in self._frame_desc:
+            d, v = np.asarray(desc), np.asarray(valid)
+            if d.ndim == 2:
+                frame_descs.append((d, v))
+            else:
+                frame_descs.extend(zip(d, v))
+        oks = [
+            bool(o.ok)
+            for o in self._per_frame(jax.device_get(self._outs))[: len(frame_descs)]
+        ]
         lost_descs = []
-        oks = [bool(np.asarray(o.ok)) for o in self._outs[: len(self._frame_desc)]]
-        for ok, (desc, valid) in zip(oks, self._frame_desc):
+        for ok, (d, v) in zip(oks, frame_descs):
             if not ok:
-                d = np.asarray(desc)[np.asarray(valid)]
-                if d.size:
-                    lost_descs.append(d)
+                dd = d[v]
+                if dd.size:
+                    lost_descs.append(dd)
         return kf_descs, lost_descs
 
     @property
     def reloc_frames(self) -> List[int]:
-        return [i for i, o in enumerate(jax.device_get(self._outs)) if bool(o.relocalized)]
+        outs = self._per_frame(jax.device_get(self._outs))
+        return [i for i, o in enumerate(outs) if bool(o.relocalized)]

@@ -33,6 +33,9 @@ def main(argv=None):
                     help="full SLAM (map + local BA) instead of frame-to-frame VO")
     ap.add_argument("--vocabulary", default=None,
                     help="vocabulary .npz for BoW relocalization / loop closing")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="track frames in scanned chunks of this size (one "
+                         "device dispatch per chunk; throughput mode)")
     ap.add_argument("--global-ba", action="store_true",
                     help="run global bundle adjustment after accepted loop closures "
                          "(upstream-ORB-SLAM2 behavior; the reference stops at the essential graph)")
@@ -84,7 +87,8 @@ def main(argv=None):
                 voc = load_dbow_text(args.vocabulary)  # DBoW2/3 ORBvoc.txt
             else:
                 voc = Vocabulary.load(args.vocabulary)
-        tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba)
+        tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba,
+                             chunk=args.chunk)
         t0 = time.perf_counter()
         for i in range(len(seq)):
             gray, depth, ts = seq[i]

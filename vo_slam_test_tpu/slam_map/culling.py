@@ -217,14 +217,63 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
     safe_par = jnp.maximum(parent, 0)
     T_cp = jnp.einsum("kij,kjl->kil", m.kf_pose, jax.vmap(lie.se3_inverse)(m.kf_pose[safe_par]))
     kf_tcp = jnp.where(cull[:, None, None], T_cp, m.kf_tcp)
-    # children of a culled KF move to its parent (simplified reparenting;
-    # the reference re-selects among covisible candidates keyframe.cpp:400-470)
+    # spanning-tree reparenting (keyframe.cpp:431-483): children of a
+    # culled keyframe attach GREEDILY to the highest-covisibility-weight
+    # candidate, where the candidate set starts as {culled KF's parent}
+    # and each newly attached child joins it — so siblings can chain off
+    # each other instead of all collapsing onto the grandparent. Children
+    # with no covisible candidate fall back to the culled KF's parent
+    # (keyframe.cpp:479-483), or its grandparent if that parent died in
+    # the same batch (the reference erases sequentially and never sees
+    # this case).
+    # fallback baseline first (also covers culled KFs beyond the CU cap)
     par_of_parent = parent[safe_par]
     new_parent = jnp.where(
         (parent >= 0) & cull[safe_par],
         jnp.where(cull[jnp.maximum(par_of_parent, 0)], -1, par_of_parent),
         parent,
     )
+    # greedy covisible re-selection for the first CU culled keyframes
+    # (redundancy culling kills 0-2 per call; CU=4 is headroom). Each
+    # greedy step is one masked [K,K] argmax — CU*CH short serial steps.
+    CU, CH = 4, 8
+    cull_cnt = jnp.cumsum(cull_c.astype(jnp.int32)) - 1
+    cull_slot = jnp.where(cull_c & (cull_cnt < CU), cull_cnt, CU)
+    culled_ids = (
+        jnp.full((CU + 1,), -1, jnp.int32)
+        .at[cull_slot].set(cid)[:CU]
+    )
+    live_after = m.kf_valid & ~cull
+    covis_w = jnp.where(
+        live_after[:, None] & live_after[None, :], m.covis, 0
+    )
+
+    def reparent_one(i, par_arr):
+        c = jnp.maximum(culled_ids[i], 0)
+        do = culled_ids[i] >= 0
+        gp = parent[c]
+        gp_ok = (gp >= 0) & ~cull[jnp.maximum(gp, 0)]
+        children0 = do & (parent == c) & live_after
+        cand0 = jnp.zeros((K,), bool).at[jnp.maximum(gp, 0)].set(gp_ok & do)
+
+        def step(_, st):
+            par_arr, children, cand = st
+            Wm = jnp.where(children[:, None] & cand[None, :], covis_w, 0)
+            best = jnp.argmax(Wm)
+            bx = (best // K).astype(jnp.int32)
+            bw = (best % K).astype(jnp.int32)
+            ok = Wm.reshape(-1)[best] > 0
+            par_arr = jnp.where(ok, par_arr.at[bx].set(bw), par_arr)
+            cand = cand.at[bx].max(ok)
+            children = children.at[bx].set(children[bx] & ~ok)
+            return par_arr, children, cand
+
+        par_arr, _, _ = jax.lax.fori_loop(
+            0, CH, step, (par_arr, children0, cand0)
+        )
+        return par_arr
+
+    new_parent = jax.lax.fori_loop(0, CU, reparent_one, new_parent)
     m = m.replace(
         kf_valid=m.kf_valid & ~cull,
         kf_mp=jnp.where(cull[:, None], -1, m.kf_mp),

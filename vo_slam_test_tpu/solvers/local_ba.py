@@ -355,15 +355,24 @@ def _jacobians_ol(poses, points, prob: BAProblemOL, cam: Camera):
 
 def _lm_pass_ol(
     poses0, points0, prob: BAProblemOL, cam: Camera, active, use_huber: bool,
-    iters: int, wk: int,
+    iters: int, wk: int, axis: str | None = None,
 ):
-    """One LM pass over the dense [blk,O,L] layout; returns (poses, points)."""
+    """One LM pass over the dense [blk,O,L] layout; returns (poses, points).
+
+    axis: mesh axis name when running under shard_map with the point axis L
+    sharded across devices. The point-side terms (Hll, bl, Hll_inv, dx_pt)
+    are per-point and stay shard-local; only the pose-side reductions over
+    L (Hpp, bp, the Schur off-diagonal, rhs, costs) cross the mesh — each a
+    psum of a [W,6]-sized block over ICI, so communication is O(model),
+    not O(observations)."""
     Wp = wk
     inv_sig = jnp.sqrt(prob.o_inv_sigma2)          # [O,L]
     d_mono = jnp.sqrt(CHI2_MONO)
     d_stereo = jnp.sqrt(CHI2_STEREO)
     W_, O, L = prob.oh_win.shape
     oh2 = prob.oh_win.reshape(Wp, O * L)
+    psum = (lambda x: jax.lax.psum(x, axis)) if axis else (lambda x: x)
+    pmax = (lambda x: jax.lax.pmax(x, axis)) if axis else (lambda x: x)
 
     def rho_sum(e, stereo, act):
         ew = e * inv_sig[None]
@@ -374,7 +383,7 @@ def _lm_pass_ol(
             rho = jnp.where(s <= delta, s2, 2 * delta * s - delta * delta)
         else:
             rho = s2
-        return jnp.sum(jnp.where(act, rho, 0.0))
+        return psum(jnp.sum(jnp.where(act, rho, 0.0)))
 
     def cost_of(poses, points):
         e, _, stereo = _residuals_ol(poses, points, prob, cam)
@@ -401,9 +410,9 @@ def _lm_pass_ol(
         # pose blocks: one [W, O*L] x [O*L, blk] GEMM each
         Jpw = Jp * w[None, None]
         Gpp = jnp.einsum("riol,rjol->ijol", Jpw, Jp).reshape(36, O * L)
-        Hpp = (oh2 @ Gpp.T).reshape(Wp, 6, 6)
+        Hpp = psum((oh2 @ Gpp.T).reshape(Wp, 6, 6))
         gp = jnp.einsum("riol,rol->iol", Jpw, ew).reshape(6, O * L)
-        bp = oh2 @ gp.T                                       # [W,6]
+        bp = psum(oh2 @ gp.T)                                 # [W,6]
         cross = jnp.einsum("riol,rjol->ijol", Jpw, Jl)        # [6,3,O,L]
         Wc = jnp.einsum("wol,ijol->wijl", prob.oh_win, cross)  # [W,6,3,L]
 
@@ -414,10 +423,10 @@ def _lm_pass_ol(
         Hpp_d = Hpp + lamI6[None]
 
         WHinv = jnp.einsum("wikl,kjl->wijl", Wc, Hll_inv)     # [W,6,3,L]
-        S_off = jnp.einsum("wikl,vmkl->wivm", WHinv, Wc)      # [W,6,W,6]
+        S_off = psum(jnp.einsum("wikl,vmkl->wivm", WHinv, Wc))  # [W,6,W,6]
         S = -S_off
         S = S.at[jnp.arange(Wp), :, jnp.arange(Wp), :].add(Hpp_d)
-        rhs = bp - jnp.einsum("wikl,kl->wi", WHinv, bl)
+        rhs = bp - psum(jnp.einsum("wikl,kl->wi", WHinv, bl))
 
         Sd = S.reshape(Wp * 6, Wp * 6) + 1e-7 * jnp.eye(Wp * 6, dtype=e.dtype)
         chol = jnp.linalg.cholesky(Sd)
@@ -435,7 +444,10 @@ def _lm_pass_ol(
         poses = jnp.where(improved, poses_new, poses)
         points = jnp.where(improved, points_new, points)
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), jnp.minimum(lam * 4.0, 1e8))
-        done = jnp.maximum(jnp.max(jnp.abs(dx_pose)), jnp.max(jnp.abs(dx_pt))) < 1e-7
+        done = (
+            jnp.maximum(jnp.max(jnp.abs(dx_pose)), pmax(jnp.max(jnp.abs(dx_pt))))
+            < 1e-7
+        )
         # Ceres-style function tolerance (the reference's Solver default,
         # 1e-6 relative decrease): saves the tail iterations whose cost is
         # pure launch overhead once converged
@@ -454,11 +466,15 @@ def _lm_pass_ol(
 
 def _lm_pass_pallas(
     poses0, points0, prob: BAProblemOL, cam: Camera, active, use_huber: bool,
-    iters: int, wk: int, interpret: bool = False,
+    iters: int, wk: int, interpret: bool = False, axis: str | None = None,
 ):
     """The Pallas-kernel LM pass (ops/ba_pallas.py): numerically equivalent
     to _lm_pass_ol, used on the TPU backend where XLA's layout choices for
-    the small-block tensors are pathological."""
+    the small-block tensors are pathological.
+
+    axis: mesh axis for L-sharded execution under shard_map — the kernels
+    accumulate over the local point shard; the [W,6]-sized pose-side blocks
+    and costs psum over ICI (see _lm_pass_ol)."""
     from ..ops import ba_pallas
 
     WF = prob.kf_ids.shape[0]
@@ -468,6 +484,8 @@ def _lm_pass_pallas(
     u_row = prob.o_uv[0]
     v_row = prob.o_uv[1]
     fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+    psum = (lambda x: jax.lax.psum(x, axis)) if axis else (lambda x: x)
+    pmax = (lambda x: jax.lax.pmax(x, axis)) if axis else (lambda x: x)
 
     def body(state):
         poses, points, lam, it, done = state
@@ -478,6 +496,9 @@ def _lm_pass_pallas(
             prob.o_inv_sigma2, act, povar,
             fx, fy, cx, cy, bf,
             WF=WF, wk=wk, O=O, use_huber=use_huber, interpret=interpret,
+        )
+        Hpp36, bp, S_red, rhs_red, cost_old = (
+            psum(Hpp36), psum(bp), psum(S_red), psum(rhs_red), psum(cost_old)
         )
         Hpp = Hpp36.reshape(wk, 6, 6) + lam * jnp.eye(6, dtype=poses.dtype)[None]
         S = -S_red.reshape(wk, 6, wk, 6)
@@ -492,17 +513,20 @@ def _lm_pass_pallas(
         poses_new = jnp.concatenate([new_win, poses[wk:]], axis=0)
         points_new = points + dx_pt.T
 
-        cost_new = ba_pallas.ba_cost(
+        cost_new = psum(ba_pallas.ba_cost(
             poses_new.reshape(WF, 16).T, points_new.T, prob.o_slot,
             u_row, v_row, prob.o_ur, prob.o_inv_sigma2, act,
             fx, fy, cx, cy, bf,
             WF=WF, O=O, use_huber=use_huber, interpret=interpret,
-        )
+        ))
         improved = cost_new[0, 0] < cost_old[0, 0]
         poses = jnp.where(improved, poses_new, poses)
         points = jnp.where(improved, points_new, points)
         lam = jnp.where(improved, jnp.maximum(lam * 0.33, 1e-8), jnp.minimum(lam * 4.0, 1e8))
-        done = jnp.maximum(jnp.max(jnp.abs(dx_pose)), jnp.max(jnp.abs(dx_pt))) < 1e-7
+        done = (
+            jnp.maximum(jnp.max(jnp.abs(dx_pose)), pmax(jnp.max(jnp.abs(dx_pt))))
+            < 1e-7
+        )
         # Ceres-style function tolerance (1e-6 relative decrease), see
         # _lm_pass_ol
         done |= improved & (
@@ -529,6 +553,27 @@ def _classify_ol(poses, points, prob: BAProblemOL, cam: Camera):
     return prob.o_valid & (chi2 <= gate) & (pc[2] > 0)
 
 
+def _ba_iters(stop):
+    if stop is None:
+        return 5, 10
+    stop_i = stop.astype(jnp.int32)
+    return jnp.where(stop_i > 0, 1, 5), jnp.where(stop_i > 0, 1, 10)
+
+
+def _ba_optimize(poses, points, prob, cam, wk, it1, it2, axis=None):
+    """The two-pass LM optimization (optimizer_ceres.cpp:583-699): pass 1
+    Huber 5 iters, chi2 reclassification, pass 2 inliers-only 10 iters.
+    Runs shard-local when axis names a mesh axis (L sharded)."""
+    lm_pass = _lm_pass_pallas if jax.default_backend() == "tpu" else _lm_pass_ol
+    poses, points = lm_pass(
+        poses, points, prob, cam, prob.o_valid, True, it1, wk, axis=axis
+    )
+    inl = _classify_ol(poses, points, prob, cam)
+    poses, points = lm_pass(poses, points, prob, cam, inl, False, it2, wk, axis=axis)
+    final_inl = _classify_ol(poses, points, prob, cam)
+    return poses, points, final_inl
+
+
 @functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
 def local_bundle_adjust(
     m: MapState,
@@ -549,23 +594,14 @@ def local_bundle_adjust(
     prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
-
-    if stop is None:
-        it1, it2 = 5, 10
-    else:
-        stop_i = stop.astype(jnp.int32)
-        it1 = jnp.where(stop_i > 0, 1, 5)
-        it2 = jnp.where(stop_i > 0, 1, 10)
-
-    # pass 1: Huber, 5 iters (optimizer_ceres.cpp:597-607)
+    it1, it2 = _ba_iters(stop)
     wk = min(W_KF, m.kf_valid.shape[0])
-    lm_pass = _lm_pass_pallas if jax.default_backend() == "tpu" else _lm_pass_ol
-    poses, points = lm_pass(poses, points, prob, cam, prob.o_valid, True, it1, wk)
-    inl = _classify_ol(poses, points, prob, cam)
-    # pass 2: inliers only, 10 iters, no loss (:659-668)
-    poses, points = lm_pass(poses, points, prob, cam, inl, False, it2, wk)
-    final_inl = _classify_ol(poses, points, prob, cam)
+    poses, points, final_inl = _ba_optimize(poses, points, prob, cam, wk, it1, it2)
+    return _ba_write_back(m, prob, poses, points, final_inl)
 
+
+def _ba_write_back(m, prob, poses, points, final_inl):
+    """Window poses + point positions into the map; erase outlier edges."""
     # ---- write back window poses + point positions -------------------------
     win_ok = (prob.kf_ids >= 0) & (~prob.kf_fixed)
     kf_rows = jnp.where(win_ok, prob.kf_ids, m.kf_valid.shape[0] - 1)
@@ -611,3 +647,69 @@ def local_bundle_adjust(
     low = touched & (m.pt_obs_cnt <= 2)
     m = m.replace(pt_valid=m.pt_valid & ~low)
     return m
+
+
+def local_bundle_adjust_mesh(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    cam: Camera,
+    mesh,
+    inv_level_sigma2: jnp.ndarray | None = None,
+    stop: jnp.ndarray | None = None,
+) -> MapState:
+    """The PRODUCTION local BA on a device mesh: identical semantics to
+    local_bundle_adjust (same problem build, Huber two-pass LM, chi2
+    outlier erasure, obs<=2 invalidation) with the LM iterations sharded
+    over the mesh.
+
+    Sharding layout: the point axis L of the [O,L] observation layout is
+    split across the mesh's first axis. A point's full observer list lives
+    in its own L column, so every point-side term (Hll, bl, Hll^-1, dx_pt)
+    is computed entirely on the shard that owns the point — no
+    communication. Only the pose-side reductions over L (Hpp [W,6,6], bp
+    [W,6], the Schur off-diagonal [W,6,W,6], rhs, and the scalar costs)
+    psum over ICI per LM iteration; the (W*6)^2 Cholesky solve is
+    replicated. Per-chip work is O(L/n_devices), communication O(W^2) —
+    independent of the observation count, which is what lets the window
+    and point caps grow with chip count.
+
+    Problem build and map write-back run replicated (they are cheap,
+    gather/scatter-bound passes over the full map). Requires L divisible
+    by the mesh size. Reference scope: optimizer_ceres.cpp:446-808."""
+    try:  # jax >= 0.7
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
+    poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
+    points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
+    it1, it2 = _ba_iters(stop if stop is not None else jnp.asarray(False))
+    wk = min(W_KF, m.kf_valid.shape[0])
+    L = prob.pt_ids.shape[0]
+    n_dev = mesh.devices.size
+    assert L % n_dev == 0, (L, n_dev)
+
+    prob_spec = BAProblemOL(
+        kf_ids=P(), kf_fixed=P(), pt_ids=P(ax),
+        o_slot=P(None, ax), o_kp=P(None, ax), o_col=P(None, ax),
+        o_uv=P(None, None, ax), o_ur=P(None, ax),
+        o_inv_sigma2=P(None, ax), o_valid=P(None, ax),
+        oh_all=P(None, None, ax), oh_win=P(None, None, ax),
+    )
+
+    def optimize(poses, points, prob, it1, it2):
+        return _ba_optimize(poses, points, prob, cam, wk, it1, it2, axis=ax)
+
+    poses, points, final_inl = jax.jit(
+        shard_map(
+            optimize,
+            mesh=mesh,
+            in_specs=(P(), P(ax), prob_spec, P(), P()),
+            out_specs=(P(), P(ax), P(None, ax)),
+        )
+    )(poses, points, prob, it1, it2)
+    return _ba_write_back(m, prob, poses, points, final_inl)
