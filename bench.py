@@ -90,15 +90,13 @@ def main():
         for g, d, t in (seq[i] for i in range(n_frames))
     ]
 
-    # scene vocabulary so the benchmark pays the full BASELINE workload:
-    # per-frame BoW transform, BoW bookkeeping at keyframe insertion, and
-    # loop detection (the reference runs with ORBvoc loaded)
-    ext = OrbExtractor(Camera.from_config(cfg), n_features=cfg.num_of_features)
-    descs = []
-    for g, d, _ in (seq[i] for i in (0, n_frames // 2, n_frames - 1)):
-        f = ext(g, d)
-        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=0)
+    # ORBvoc-scale vocabulary (k=10, L=6, 10^6 words) so the benchmark pays
+    # the full BASELINE BoW workload: the real 6-level per-frame transform,
+    # BoW bookkeeping at keyframe insertion at real word sparsity, and loop
+    # detection (the reference runs with ORBvoc loaded, vo_run.cpp:86-90)
+    from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+
+    voc = synth_vocabulary(k=10, levels=6, seed=0)
 
     def make():
         return SlamSystem(cfg, vocabulary=voc, chunk=CHUNK)

@@ -173,3 +173,35 @@ class TestDbowText:
         assert len(set(words.tolist())) == 3  # nodes 1 (propagated), 3, 4
         idf = np.asarray(voc.idf)
         assert np.allclose([idf[w] for w in words], [0.7, 0.5, 0.3])
+
+
+class TestSynthVocabulary:
+    """ORBvoc-shaped synthetic vocabulary: structure and transform costs of
+    k=10 L=6 without a training artifact (bench parity, vo_run.cpp:86-90)."""
+
+    def test_transform_full_depth(self):
+        from vo_slam_test_tpu.bow.vocabulary import (
+            feature_groups, synth_vocabulary, transform,
+        )
+
+        voc = synth_vocabulary(k=10, levels=3, seed=1)  # small-scale shape
+        assert voc.n_words == 1000
+        rng = np.random.default_rng(0)
+        desc = jnp.asarray(rng.integers(0, 2**32, (64, 8), dtype=np.uint32))
+        valid = jnp.asarray(np.arange(64) < 60)
+        words = np.asarray(transform(voc, desc, valid))
+        assert ((words[:60] >= 0) & (words[:60] < 1000)).all()
+        assert (words[60:] == -1).all()
+        # realistic sparsity: random descriptors spread over many words
+        assert len(set(words[:60].tolist())) > 30
+        groups = np.asarray(feature_groups(voc, jnp.asarray(words)))
+        assert ((groups[:60] >= 0) & (groups[:60] < 1)).all() or (
+            (groups[:60] >= 0)).all()
+
+    def test_full_scale_shapes(self):
+        from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+
+        voc = synth_vocabulary(k=10, levels=6, seed=0)
+        assert voc.n_words == 10**6
+        assert voc.centroids[-1].shape == (10**6, 8)
+        assert voc.idf.shape == (10**6,)

@@ -12,9 +12,12 @@ from vo_slam_test_tpu.slam_map.map_state import MapCaps, empty_map
 from vo_slam_test_tpu.solvers.local_ba import build_problem, local_bundle_adjust
 
 CAPS = MapCaps(max_kf=16, max_pt=2048, max_obs=12, n_feat=256)
+# smaller problem for the interpret-mode Pallas parity tests: interpret
+# emulates the kernel tile-by-tile in python, so cost scales with O*L
+PCAPS = MapCaps(max_kf=16, max_pt=512, max_obs=8, n_feat=128)
 
 
-def fabricate_map(n_kf=6, n_pt=400, noise_px=0.3, pose_noise=0.02, pt_noise=0.03, seed=0):
+def fabricate_map(n_kf=6, n_pt=400, noise_px=0.3, pose_noise=0.02, pt_noise=0.03, seed=0, caps=CAPS):
     """Build a MapState holding a consistent multi-view scene, then perturb
     poses (except KF0) and points. Returns (map, gt_poses, gt_points)."""
     rng = np.random.default_rng(seed)
@@ -30,12 +33,12 @@ def fabricate_map(n_kf=6, n_pt=400, noise_px=0.3, pose_noise=0.02, pt_noise=0.03
         gt_poses.append(np.asarray(lie.se3_exp(jnp.asarray(xi))))
     gt_poses = np.stack(gt_poses)
 
-    m = empty_map(CAPS)
+    m = empty_map(caps)
     md = {f: np.array(getattr(m, f)) for f in (
         "kf_pose kf_valid kf_uv_und kf_octave kf_u_right kf_depth kf_kp_valid kf_mp "
         "pt_pos pt_valid pt_obs_kf pt_obs_kp pt_obs_cnt covis".split())}
 
-    obs_per_kf = CAPS.n_feat
+    obs_per_kf = caps.n_feat
     for k in range(n_kf):
         T = gt_poses[k]
         pc = gt_pts @ T[:3, :3].T + T[:3, 3]
@@ -54,7 +57,7 @@ def fabricate_map(n_kf=6, n_pt=400, noise_px=0.3, pose_noise=0.02, pt_noise=0.03
             md["kf_kp_valid"][k, slot] = True
             md["kf_mp"][k, slot] = p
             cnt = md["pt_obs_cnt"][p]
-            if cnt < CAPS.max_obs:
+            if cnt < caps.max_obs:
                 md["pt_obs_kf"][p, cnt] = k
                 md["pt_obs_kp"][p, cnt] = slot
             md["pt_obs_cnt"][p] += 1
@@ -153,8 +156,8 @@ class TestPallasParity:
             W_KF, _jacobians_ol, build_problem_ol,
         )
 
-        m, gt_poses, gt_pts, cam = fabricate_map()
-        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), CAPS)
+        m, gt_poses, gt_pts, cam = fabricate_map(n_pt=220, caps=PCAPS)
+        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), PCAPS)
         poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
         points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
         wk = min(W_KF, int(m.kf_valid.shape[0]))
@@ -209,8 +212,8 @@ class TestPallasParity:
             W_KF, _classify_ol, _lm_pass_pallas, build_problem_ol,
         )
 
-        m, gt_poses, gt_pts, cam = fabricate_map()
-        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), CAPS)
+        m, gt_poses, gt_pts, cam = fabricate_map(n_pt=220, caps=PCAPS)
+        prob = build_problem_ol(m, jnp.asarray(5, jnp.int32), PCAPS)
         poses0 = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
         points0 = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
         wk = min(W_KF, int(m.kf_valid.shape[0]))

@@ -159,3 +159,110 @@ class TestLoopDetect:
         # full consistency count
         assert (counts >= 3).sum() >= 2, counts
         assert results[3] in (0, 1, 2, 3, 4, 5), results
+
+
+class TestConsistencyGroupDedup:
+    """advance_consistency vs a literal transcription of the reference's
+    group-update loop (loopClosing.cpp:95-174), including the
+    vbConsistentGroup dedup: a previous group is claimed by the FIRST
+    candidate intersecting it; later candidates sharing it push nothing
+    (unless they intersect another unclaimed group or nothing at all)."""
+
+    @staticmethod
+    def oracle(cand_groups, top_ok, prev_groups, prev_counts, n_prev):
+        """loopClosing.cpp:108-163 verbatim (sets -> boolean rows)."""
+        curr = []          # list of (group_row, count)
+        flags = [False] * n_prev
+        cand_counts = []
+        for i in range(cand_groups.shape[0]):
+            if not top_ok[i]:
+                cand_counts.append(0)
+                continue
+            some = False
+            best = 0
+            for j in range(n_prev):
+                if (cand_groups[i] & prev_groups[j]).any():
+                    some = True
+                    cnt = prev_counts[j] + 1
+                    best = max(best, cnt)
+                    if not flags[j]:
+                        curr.append((cand_groups[i].copy(), cnt))
+                        flags[j] = True
+            if not some:
+                curr.append((cand_groups[i].copy(), 0))
+            cand_counts.append(best)
+        return curr, cand_counts
+
+    def _run_both(self, cand_groups, top_ok, prev_groups, prev_counts, n_prev):
+        from vo_slam_test_tpu.pipeline.loop_closing import (
+            MAX_GROUPS, advance_consistency,
+        )
+
+        K = cand_groups.shape[1]
+        pg = np.zeros((MAX_GROUPS, K), bool)
+        pc = np.zeros((MAX_GROUPS,), np.int32)
+        pg[:n_prev] = prev_groups[:n_prev]
+        pc[:n_prev] = prev_counts[:n_prev]
+        g, c, n, cc = advance_consistency(
+            jnp.asarray(cand_groups), jnp.asarray(top_ok),
+            jnp.asarray(pg), jnp.asarray(pc), jnp.asarray(n_prev),
+        )
+        want, want_cc = self.oracle(
+            cand_groups, top_ok, prev_groups, prev_counts, n_prev
+        )
+        want = want[:MAX_GROUPS]
+        assert int(n) == len(want), (int(n), len(want))
+        got_g, got_c = np.asarray(g), np.asarray(c)
+        # entry order: claimed previous groups (by j) first, then
+        # no-intersection candidates (by i) — the oracle emits in candidate
+        # order, so compare as multisets of (group-bytes, count)
+        got = sorted(
+            (got_g[k].tobytes(), int(got_c[k])) for k in range(len(want))
+        )
+        exp = sorted((w[0].tobytes(), int(w[1])) for w in want)
+        assert got == exp
+        np.testing.assert_array_equal(np.asarray(cc), np.asarray(want_cc))
+
+    def test_two_candidates_share_one_previous_group(self):
+        K, C = 16, 8
+        cand_groups = np.zeros((C, K), bool)
+        top_ok = np.zeros((C,), bool)
+        # candidates 0 and 1 both intersect previous group 0 (KF 3)
+        cand_groups[0, [3, 4]] = True
+        cand_groups[1, [3, 7]] = True
+        top_ok[:2] = True
+        prev_groups = np.zeros((4, K), bool)
+        prev_groups[0, [2, 3]] = True
+        prev_counts = np.array([1, 0, 0, 0], np.int32)
+        self._run_both(cand_groups, top_ok, prev_groups, prev_counts, 1)
+
+    def test_candidate_with_no_intersection_seeds_fresh_group(self):
+        K, C = 16, 8
+        cand_groups = np.zeros((C, K), bool)
+        top_ok = np.zeros((C,), bool)
+        cand_groups[0, [1, 2]] = True   # intersects prev 0
+        cand_groups[1, [9, 10]] = True  # intersects nothing -> count 0
+        top_ok[:2] = True
+        prev_groups = np.zeros((4, K), bool)
+        prev_groups[0, [2]] = True
+        prev_counts = np.array([2, 0, 0, 0], np.int32)
+        self._run_both(cand_groups, top_ok, prev_groups, prev_counts, 1)
+
+    def test_randomized_against_oracle(self):
+        rng = np.random.default_rng(7)
+        for trial in range(50):
+            K = 24
+            C = 8
+            n_prev = int(rng.integers(0, 12))
+            cand_groups = rng.random((C, K)) < 0.12
+            top_ok = np.arange(C) < rng.integers(0, C + 1)
+            cand_groups &= top_ok[:, None]
+            # every live candidate group contains at least itself
+            for i in range(C):
+                if top_ok[i]:
+                    cand_groups[i, rng.integers(0, K)] = True
+            prev_groups = rng.random((12, K)) < 0.12
+            prev_counts = rng.integers(0, 4, 12).astype(np.int32)
+            self._run_both(
+                cand_groups, top_ok, prev_groups, prev_counts, n_prev
+            )

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles a full SlamSystem
+
 from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.datasets import SyntheticRGBD
 from vo_slam_test_tpu.pipeline.system import SlamSystem

@@ -13,25 +13,34 @@ from test_loop_e2e import drift_island, se3
 import numpy as _np
 
 def pan_trajectory():
-    # settle: a LONG lateral sweep over the back wall — 14 keyframes'
-    # worth, so the revisit keyframes land past the reference's
-    # kf_seq >= last_loop + 10 detection gate (loopClosing.cpp:63-67)
-    # with room for 3+ consecutive detection rounds; each keyframe sees
-    # ~70% of its neighbors' points (multi-observer protection against
-    # recent-point culling) without tripping the >90% redundancy cull
-    settle = [se3(tx=0.13 * i, ty=0.015 * (i % 2), ry=-0.03 * i)
+    # settle: a 2D Lissajous sweep over the back wall (lateral + vertical
+    # + dolly, INSIDE the box scene: right wall x=1.5, floor y=0.8) — each
+    # frame reveals fresh wall regions, so ~10 keyframes accumulate before
+    # the pan and the revisit keyframes land past the reference's
+    # kf_seq >= last_loop + 10 detection gate (loopClosing.cpp:63-67) with
+    # room for 3+ consecutive detection rounds
+    # recede from the wall: every frame brings new peripheral area into
+    # the frustum, so keyframes keep being created (~10 by pan start)
+    settle = [se3(tx=0.12 * _np.sin(0.8 * i),
+                  ty=0.1 * _np.sin(1.3 * i),
+                  tz=-0.15 * i,
+                  ry=0.05 * _np.sin(1.1 * i))
               for i in range(14)]
+    z0 = -0.15 * 13
     yaws = (
         [0.1 + 0.133 * i for i in range(12)]
         + [1.7] * 4
         + [1.7 - 0.133 * i for i in range(12)]
         + [0.1 - 0.02 * i for i in range(4)]
     )
-    home = [se3(tx=0.45 + 0.25 * _np.sin(0.9 * i + 2), ty=0.02 * i,
-                ry=-0.15 + 0.12 * _np.sin(1.3 * i))
+    # pan at the settle-end depth (no teleports mid-sequence)
+    pan = [se3(tx=0.05 * _np.sin(3 * y), tz=z0, ry=y) for y in yaws]
+    # home: KEEP receding over the old wall — detection needs a keyframe
+    # per consistency round, and keyframes follow new view area
+    home = [se3(tx=0.1 * _np.sin(0.9 * i + 2), ty=0.1 * _np.sin(1.1 * i),
+                tz=z0 - 0.15 * (i + 1), ry=0.04 * _np.sin(1.3 * i))
             for i in range(14)]
-    return _np.stack(
-        settle + [se3(tx=0.05 * _np.sin(3 * y), ry=y) for y in yaws] + home)
+    return _np.stack(settle + pan + home)
 from vo_slam_test_tpu.bow.vocabulary import build_vocabulary
 from vo_slam_test_tpu.camera import Camera
 from vo_slam_test_tpu.config import SlamConfig
@@ -47,7 +56,7 @@ cfg = SlamConfig(camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy
                  camera_fps=3)
 ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
 descs = []
-for i in (0, 12, 20, 26, 36, 44):
+for i in (0, 6, 12, 20, 26, 36, 50):
     g, d, _ = seq[i]
     f = ext(g, d)
     descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
@@ -78,7 +87,7 @@ for i in range(len(seq)):
         # T_cr is relative so it follows the ref pose automatically
         print(f"frame {i}: drift injected over {nk} KFs, {npts} pts")
         cut_done = True
-    if i in (6, 13, 20, 27, 34, 41, 48, 55):
+    if i in (8, 17, 24, 31, 38, 45, 52, 59):
         mm = sys_.map
         ref = np.asarray(mm.pt_ref_kf); pv = np.asarray(mm.pt_valid)
         old = pv & (ref >= 0) & (ref <= 3)

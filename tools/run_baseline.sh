@@ -1,0 +1,87 @@
+#!/usr/bin/env bash
+# One-command BASELINE verdict: dataset path in, PARITY OK/FAILED out.
+#
+# Runs the two BASELINE.json trigger scenarios end-to-end and checks
+# trigger-frame parity against reference event files:
+#   fr1_room        -> loop closure must fire at the reference's frames
+#   fr2_360_kidnap  -> relocalization must fire at the reference's frames
+#
+# Usage:
+#   tools/run_baseline.sh <TUM_ROOT> [REF_EVENTS_DIR]
+#
+#   TUM_ROOT        directory containing rgbd_dataset_freiburg1_room/ and
+#                   rgbd_dataset_freiburg2_360_kidnap/ (each with
+#                   associate.txt: paired "t rgb t depth" rows)
+#   REF_EVENTS_DIR  directory with reference_fr1_room.json and
+#                   reference_fr2_kidnap.json (parity_check.py schema;
+#                   derive from reference console logs with
+#                   `parity_check.py --from-log <log> <out.json>` — see
+#                   configs/reference_events.example.json). Defaults to
+#                   configs/; missing files skip that comparison with a
+#                   warning instead of failing.
+#
+# Exit code 0 = every available comparison passed (PARITY OK).
+set -u
+cd "$(dirname "$0")/.."
+
+TUM_ROOT=${1:?usage: run_baseline.sh <TUM_ROOT> [REF_EVENTS_DIR]}
+REF_DIR=${2:-configs}
+OUT=${BASELINE_OUT:-/tmp/vo_slam_baseline}
+mkdir -p "$OUT"
+
+run_seq() { # name config_yaml dataset_subdir extra_flags...
+    local name=$1 cfg=$2 sub=$3; shift 3
+    local ds="$TUM_ROOT/$sub"
+    if [ ! -e "$ds/associate.txt" ]; then
+        echo "[$name] MISSING $ds/associate.txt — cannot run" >&2
+        return 2
+    fi
+    # rewrite dataset_dir to the provided root
+    sed "s#^dataset_dir:.*#dataset_dir: $ds/#" "$cfg" > "$OUT/$name.yaml"
+    echo "[$name] running full pipeline..."
+    python -m vo_slam_test_tpu.run_slam "$OUT/$name.yaml" --slam "$@" \
+        --camera-out "$OUT/$name.camera.txt" \
+        --keyframe-out "$OUT/$name.keyframes.txt" \
+        --metrics-out "$OUT/$name.metrics.csv" \
+        --events-out "$OUT/$name.events.json" || return 1
+}
+
+check() { # name ref_json
+    local name=$1 ref=$2
+    if [ ! -e "$ref" ]; then
+        echo "[$name] no reference events at $ref — comparison SKIPPED" >&2
+        return 0
+    fi
+    python tools/parity_check.py "$OUT/$name.events.json" "$ref"
+}
+
+fail=0
+
+# fr1_room: loop-closure triggers. The scene vocabulary is created on the
+# first pass (reference protocol: vo_run builds/loads a DBoW vocabulary,
+# vo_run.cpp:86-90) then the run is repeated with it loaded.
+if run_seq fr1_room_pass1 configs/tum_fr1.yaml \
+        rgbd_dataset_freiburg1_room --vocabulary-out "$OUT/fr1_voc.npz"; then
+    run_seq fr1_room configs/tum_fr1.yaml rgbd_dataset_freiburg1_room \
+        --vocabulary "$OUT/fr1_voc.npz" || fail=1
+    check fr1_room "$REF_DIR/reference_fr1_room.json" || fail=1
+else
+    fail=1
+fi
+
+# fr2_360_kidnap: relocalization triggers
+if run_seq fr2_kidnap_pass1 configs/tum_fr2_kidnap.yaml \
+        rgbd_dataset_freiburg2_360_kidnap --vocabulary-out "$OUT/fr2_voc.npz"; then
+    run_seq fr2_kidnap configs/tum_fr2_kidnap.yaml \
+        rgbd_dataset_freiburg2_360_kidnap --vocabulary "$OUT/fr2_voc.npz" || fail=1
+    check fr2_kidnap "$REF_DIR/reference_fr2_kidnap.json" || fail=1
+else
+    fail=1
+fi
+
+if [ "$fail" -eq 0 ]; then
+    echo "PARITY OK (artifacts in $OUT)"
+else
+    echo "PARITY FAILED (artifacts in $OUT)" >&2
+fi
+exit $fail

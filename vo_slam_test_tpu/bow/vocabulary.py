@@ -260,6 +260,35 @@ def _unpack(words: np.ndarray) -> np.ndarray:
     return bits.reshape(words.shape[:-1] + (256,)).astype(np.uint8)
 
 
+def synth_vocabulary(
+    k: int = 10,
+    levels: int = 6,
+    seed: int = 0,
+    idf_range: Tuple[float, float] = (2.0, 8.0),
+) -> Vocabulary:
+    """ORBvoc-SHAPED synthetic vocabulary: random centroids in the exact
+    tree structure of the reference's ORBvoc (k=10, L=6, 10^6 words,
+    vo_run.cpp:86-90). The per-frame transform then pays the real 6-level
+    k=10 descent (6 gathers + 60 Hamming distances per feature vs 3/24 for
+    a toy k=8 L=3 tree), features spread across ~10^6 words at real
+    sparsity, and retrieval scoring sees realistic per-frame word counts —
+    the full-scale BoW workload for benchmarking, without a 140 MB
+    training artifact. Random centroids give no semantic place-recognition
+    power; loop-closure TESTS use scene-built vocabularies instead."""
+    rng = np.random.default_rng(seed)
+    cents = [
+        jnp.asarray(rng.integers(0, 2**32, (k ** (l + 1), 8), dtype=np.uint32))
+        for l in range(levels)
+    ]
+    valids = [jnp.ones((k ** (l + 1),), bool) for l in range(levels)]
+    idf = jnp.asarray(
+        rng.uniform(idf_range[0], idf_range[1], k**levels).astype(np.float32)
+    )
+    return Vocabulary(
+        k=k, levels=levels, centroids=cents, idf=idf, node_valid=valids
+    )
+
+
 def build_vocabulary(
     descriptors: np.ndarray,
     k: int = 10,

@@ -72,6 +72,57 @@ def empty_loop_state(caps: MapCaps) -> LoopState:
     )
 
 
+def advance_consistency(cand_groups, top_ok, prev_groups, prev_counts, n_prev):
+    """One round of the reference's consistency-group update
+    (loopClosing.cpp:95-174), vectorized:
+
+    - intersections [C,G] between candidate groups and previous groups;
+    - a candidate's consistency count is max(prevCnt)+1 over intersecting
+      previous groups (the reference checks currCnt >= 3 for EVERY
+      intersecting group, which is the same confirm set);
+    - the NEXT round's group list follows vbConsistentGroup dedup exactly:
+      each previous group is claimed by the FIRST candidate intersecting it
+      (one pushed entry per claimed previous group, count = prevCnt + 1),
+      and a candidate intersecting nothing pushes its own group with count
+      0; a candidate whose every intersecting group was already claimed
+      pushes nothing.
+
+    Returns (groups [G,K], counts [G], n_groups, cand_counts [C]).
+    """
+    G = prev_groups.shape[0]
+    C = cand_groups.shape[0]
+    inter = jnp.any(
+        cand_groups[:, None, :] & prev_groups[None, :, :], axis=2
+    ) & (jnp.arange(G)[None, :] < n_prev)                      # [C,G]
+    prev_best = jnp.max(jnp.where(inter, prev_counts[None, :], -1), axis=1)
+    cand_counts = jnp.where(
+        top_ok, jnp.where(prev_best >= 0, prev_best + 1, 0), 0
+    ).astype(jnp.int32)
+
+    claimed = jnp.any(inter, axis=0)                           # [G]
+    first_i = jnp.argmax(inter, axis=0)                        # [G]
+    gA = cand_groups[first_i] & claimed[:, None]               # [G,K]
+    cA = jnp.where(claimed, prev_counts + 1, 0).astype(jnp.int32)
+    none = top_ok & ~jnp.any(inter, axis=1)                    # [C]
+    gB = cand_groups & none[:, None]
+    all_valid = jnp.concatenate([claimed, none])               # [G+C]
+    all_groups = jnp.concatenate([gA, gB], axis=0)
+    all_counts = jnp.concatenate([cA, jnp.zeros((C,), jnp.int32)])
+    pos = jnp.cumsum(all_valid.astype(jnp.int32)) - 1
+    slot = jnp.where(all_valid & (pos < G), pos, G)
+    K = cand_groups.shape[1]
+    groups = (
+        jnp.zeros((G + 1, K), bool)
+        .at[slot].max(all_groups & all_valid[:, None])[:G]
+    )
+    counts = (
+        jnp.zeros((G + 1,), jnp.int32)
+        .at[slot].set(jnp.where(all_valid, all_counts, 0))[:G]
+    )
+    n_groups = jnp.minimum(jnp.sum(all_valid.astype(jnp.int32)), G)
+    return groups, counts, n_groups, cand_counts
+
+
 @functools.partial(jax.jit, static_argnames=("caps",))
 def detect_step(
     m: MapState,
@@ -100,17 +151,8 @@ def detect_step(
             scores, shared, m_.covis, m_.kf_valid, kf, min_score
         )
 
-        # consistency groups (loopClosing.cpp:95-174): every candidate's
-        # group (candidate + covisibles) is checked against ALL previous
-        # groups; a candidate inherits count = prev_count + 1 from any
-        # intersecting previous group (max if several intersect) and
-        # confirms at >= CONSISTENCY. All candidate groups — not just the
-        # best — become the next round's group list, so two alternating
-        # candidate neighborhoods accumulate counts independently.
-        # Deviation: the reference dedups pushed groups per previous group
-        # (vbConsistentGroup); we keep every candidate group with its max
-        # count, which only makes the next round's intersections a
-        # superset.
+        # consistency groups: exact vbConsistentGroup semantics of
+        # loopClosing.cpp:95-174 — see advance_consistency
         cand_scores = jnp.where(cand_mask, scores, -jnp.inf)
         top_scores, top_ids = jax.lax.top_k(cand_scores, MAX_CANDS)
         top_ok = jnp.isfinite(top_scores)
@@ -121,25 +163,16 @@ def detect_step(
         cand_groups = (
             self_row | ((m_.covis[top_ids] > 0) & m_.kf_valid[None, :])
         ) & top_ok[:, None]
-        # [C,G] intersections with previous groups
-        inter = jnp.any(
-            cand_groups[:, None, :] & ls_.groups[None, :, :], axis=2
-        ) & (jnp.arange(MAX_GROUPS)[None, :] < ls_.n_groups)
-        prev_best = jnp.max(
-            jnp.where(inter, ls_.counts[None, :], -1), axis=1
-        )  # [C]; -1 when no intersection
-        new_counts = jnp.where(
-            top_ok, jnp.where(prev_best >= 0, prev_best + 1, 0), 0
-        ).astype(jnp.int32)
+        groups, counts, n_groups, new_counts = advance_consistency(
+            cand_groups, top_ok, ls_.groups, ls_.counts, ls_.n_groups
+        )
         conf_mask = top_ok & (new_counts >= CONSISTENCY)
         gap_ok = m_.kf_seq[kf] >= ls_.last_loop_seq + MIN_KF_GAP
         conf_mask &= gap_ok
 
-        groups = jnp.zeros_like(ls_.groups).at[:MAX_CANDS].set(cand_groups)
-        counts = jnp.zeros_like(ls_.counts).at[:MAX_CANDS].set(new_counts)
         ls_new = LoopState(
             groups=groups, counts=counts,
-            n_groups=jnp.sum(top_ok.astype(jnp.int32)),
+            n_groups=n_groups,
             last_loop_seq=ls_.last_loop_seq,
         )
         # ALL enough-consistent candidates, best score first — the

@@ -89,6 +89,9 @@ class SlamOut:
     n_inliers: jnp.ndarray
     made_kf: jnp.ndarray
     relocalized: jnp.ndarray
+    kp_uv: jnp.ndarray          # [N,2] raw pixel coords (HUD overlay)
+    kp_state: jnp.ndarray       # [N] i32: 0 untracked, 1 map-tracked,
+                                # 2 VO-tracked (drawer.cpp:430-459 flags)
 
 
 @struct.dataclass
@@ -105,6 +108,47 @@ class _Attempt:
 
 def _observed(m: MapState, assign: jnp.ndarray) -> jnp.ndarray:
     return (assign >= 0) & (m.pt_obs_cnt[jnp.maximum(assign, 0)] > 0)
+
+
+def reloc_topup_cascade(topup1, topup2, T_in, kp_in, n_in):
+    """The relocalization projection-top-up gate structure, a literal
+    transcription of visualOdometry.cpp:352-384:
+
+      if n0 < 50 is the caller's gate; then
+      add1 <- searchByProjection(r=10, th=100); if n0 + add1 >= 50:
+        n1 <- solvePoseOnly (post-top-up state adopted)
+        if 30 < n1 < 50:
+          add2 <- searchByProjection(r=3, th=60); if n1 + add2 >= 50:
+            n2 <- solvePoseOnly (second top-up adopted)
+      anything else keeps the previous stage's state.
+
+    topup1/topup2: (T, kp) -> (T', kp', n', add) — projection search plus
+    the follow-up pose-only solve, returning the post-solve observed-inlier
+    count n' and the number of newly added matches add. Factored out so the
+    branch conditions are property-testable against the reference
+    transcription with stubbed top-ups (tests/test_reloc.py)."""
+    T_a, kp_a, n_a, add1 = topup1(T_in, kp_in)
+    use_a = (n_in + add1) >= 50
+
+    def second(args2):
+        T_b, kp_b, n_b = args2
+        T_c2, kp_c2, n_c2, add2 = topup2(T_b, kp_b)
+        use_b = (n_b + add2) >= 50
+        return jax.tree.map(
+            lambda x, y: jnp.where(use_b, x, y),
+            (T_c2, kp_c2, n_c2), (T_b, kp_b, n_b),
+        )
+
+    T_f, kp_f, n_f = jax.lax.cond(
+        use_a & (n_a > 30) & (n_a < 50),
+        second,
+        lambda a: a,
+        (T_a, kp_a, n_a),
+    )
+    return jax.tree.map(
+        lambda x, y: jnp.where(use_a, x, y),
+        (T_f, kp_f, n_f), (T_in, kp_in, n_in),
+    )
 
 
 def _solve_and_cull(m, feats, T_init, kp_pt, kp_temp, kp_pw, inv_level_sigma2, cam):
@@ -165,39 +209,23 @@ def _slam_step(
         wgt_c = jnp.zeros((N,))
         groups_c = words_c
 
-    def insert_kf(m, T, assign):
+    def insert_kf(m, T, assign, do=None):
         already = _observed(m, assign)
         create = map_insert.spawn_mask_depth_sorted(feats, already, cam.th_depth)
         return map_insert.insert_keyframe(
             m, caps, feats, T, timestamp, frame_id, assign, create, cam,
-            scale_factors, words_c, uniq_c, wgt_c,
+            scale_factors, words_c, uniq_c, wgt_c, do=do,
         )
 
-    # ======================== INIT BRANCH ==================================
-    def init_branch(m):
-        m2, kf_id = insert_kf(m, eye, jnp.full((N,), -1, jnp.int32))
-        row0 = m2.kf_mp[kf_id]
-        st = SlamTrackState(
-            frame_id=frame_id + 1,
-            feats=feats, assign_real=row0,
-            assign_gen=jnp.where(row0 >= 0, m2.pt_gen[jnp.maximum(row0, 0)], -1),
-            T_cr=eye, ref_kf=kf_id,
-            T_cl=eye, motion_valid=jnp.asarray(False), initialized=jnp.asarray(True),
-            lost=jnp.asarray(False),
-            last_kf_frame=jnp.asarray(frame_id, jnp.int32),
-            last_was_kf=jnp.asarray(True),
-            last_reloc_frame=state.last_reloc_frame,
-        )
-        out = SlamOut(
-            T_c_w=eye, T_cr=eye, ref_kf=kf_id, ref_gen=m2.kf_gen[kf_id],
-            ok=jnp.asarray(True),
-            n_features=n_feats, n_matches=jnp.asarray(0, jnp.int32),
-            n_inliers=jnp.asarray(0, jnp.int32), made_kf=jnp.asarray(True),
-            relocalized=jnp.asarray(False),
-        )
-        return st, m2, out
+    # The first frame initializes the map instead of tracking. This is NOT
+    # a lax.cond: the not-taken branch of a map-returning cond makes XLA
+    # materialize copies of every map array each frame (~ms/frame on v5e).
+    # The track computation runs unconditionally — on the empty frame-0 map
+    # all attempts fail benignly (no valid features/points to match) — and
+    # `init` overrides merge the initialization semantics at the tail.
+    init = ~state.initialized
 
-    # ======================== TRACK BRANCH =================================
+    # ======================== TRACK (+ predicated init) ====================
     def track_branch(m):
         T_last = state.T_cr @ m.kf_pose[state.ref_kf]
         no_pw = jnp.zeros((N, 3))
@@ -405,27 +433,10 @@ def _slam_step(
 
                 def do_topups(args):
                     T_in, kp_in, n_in = args
-                    T_a, kp_a, n_a, add1 = topup(T_in, kp_in, 10.0, 100.0)
-                    use_a = (n_in + add1) >= 50
-
-                    def second(args2):
-                        T_b, kp_b, n_b = args2
-                        T_c2, kp_c2, n_c2, add2 = topup(T_b, kp_b, 3.0, 60.0)
-                        use_b = (n_b + add2) >= 50
-                        return jax.tree.map(
-                            lambda x, y: jnp.where(use_b, x, y),
-                            (T_c2, kp_c2, n_c2), (T_b, kp_b, n_b),
-                        )
-
-                    T_f, kp_f, n_f = jax.lax.cond(
-                        use_a & (n_a > 30) & (n_a < 50),
-                        second,
-                        lambda a: a,
-                        (T_a, kp_a, n_a),
-                    )
-                    return jax.tree.map(
-                        lambda x, y: jnp.where(use_a, x, y),
-                        (T_f, kp_f, n_f), (T_in, kp_in, n_in),
+                    return reloc_topup_cascade(
+                        lambda T, kp: topup(T, kp, 10.0, 100.0),
+                        lambda T, kp: topup(T, kp, 3.0, 60.0),
+                        T_in, kp_in, n_in,
                     )
 
                 T4, kp_pt4, n_obs4 = jax.lax.cond(
@@ -486,8 +497,11 @@ def _slam_step(
         ok = track_pre & (observed_inliers >= gate)
 
         vis_pts = jnp.zeros((P,), bool).at[jnp.maximum(kp_pt2, 0)].max(real2)
-        vis_pts = vis_pts | lm.visible_mask
-        found_pts = jnp.zeros((P,), bool).at[jnp.maximum(kp_pt2, 0)].max(inlier_real)
+        vis_pts = (vis_pts | lm.visible_mask) & ~init
+        found_pts = (
+            jnp.zeros((P,), bool).at[jnp.maximum(kp_pt2, 0)].max(inlier_real)
+            & ~init
+        )
         m = m.replace(
             pt_visible=m.pt_visible + vis_pts.astype(jnp.int32),
             pt_found=m.pt_found + found_pts.astype(jnp.int32),
@@ -520,17 +534,18 @@ def _slam_step(
         # permanently (the round-1 cap froze KF creation at max_kf inserts)
         need_kf &= (m.n_kf < caps.max_kf) | jnp.any(~m.kf_valid)
 
-        m, new_kf = jax.lax.cond(
-            need_kf,
-            lambda m: insert_kf(m, T_new, assign_final),
-            lambda m: (m, jnp.asarray(-1, jnp.int32)),
-            m,
-        )
-        ref_kf_out = jnp.where(need_kf, new_kf, ref_kf)
-        assign_out = jnp.where(need_kf, m.kf_mp[jnp.maximum(new_kf, 0)], assign_final)
+        # predicated insert, not lax.cond (see `init` note above); the
+        # first frame always inserts with identity pose and no bindings
+        do_ins = init | need_kf
+        T_out = jnp.where(init, eye, T_new)
+        assign_ins = jnp.where(init, -1, assign_final)
+        m, new_kf = insert_kf(m, T_out, assign_ins, do=do_ins)
+        made = do_ins & (new_kf >= 0)
+        ref_kf_out = jnp.where(made, new_kf, ref_kf)
+        assign_out = jnp.where(made, m.kf_mp[jnp.maximum(new_kf, 0)], assign_final)
 
-        T_cr = T_new @ lie.se3_inverse(m.kf_pose[jnp.maximum(ref_kf_out, 0)])
-        T_cl = jnp.where(ok, T_new @ lie.se3_inverse(T_last), eye)
+        T_cr = T_out @ lie.se3_inverse(m.kf_pose[jnp.maximum(ref_kf_out, 0)])
+        T_cl = jnp.where(ok & ~init, T_new @ lie.se3_inverse(T_last), eye)
 
         st = SlamTrackState(
             frame_id=frame_id + 1,
@@ -539,21 +554,34 @@ def _slam_step(
                 assign_out >= 0, m.pt_gen[jnp.maximum(assign_out, 0)], -1
             ),
             T_cr=T_cr, ref_kf=ref_kf_out,
-            T_cl=T_cl, motion_valid=ok, initialized=jnp.asarray(True),
-            lost=~ok,
-            last_kf_frame=jnp.where(need_kf, frame_id, state.last_kf_frame),
-            last_was_kf=need_kf,
+            T_cl=T_cl, motion_valid=ok & ~init, initialized=jnp.asarray(True),
+            lost=~ok & ~init,
+            last_kf_frame=jnp.where(made, frame_id, state.last_kf_frame),
+            last_was_kf=made,
             last_reloc_frame=reloc_frame,
         )
+        # HUD flags (drawer.cpp:430-459): a tracked-inlier keypoint is
+        # map-tracked when its point has observers, VO-tracked when it is
+        # a fresh/temp point with none; only in state OK (INITIALIZING and
+        # LOST draw nothing)
+        hud_observed = m.pt_obs_cnt[jnp.maximum(kp_pt2, 0)] > 0
+        hud_map = inlier_real & hud_observed
+        hud_vo = (inlier_real & ~hud_observed) | (kp_temp2 & inl2)
+        kp_state = jnp.where(
+            ok & ~init & feats.valid,
+            jnp.where(hud_map, 1, jnp.where(hud_vo, 2, 0)),
+            0,
+        ).astype(jnp.int32)
         out = SlamOut(
-            T_c_w=T_new, T_cr=T_cr, ref_kf=ref_kf_out,
-            ref_gen=m.kf_gen[jnp.maximum(ref_kf_out, 0)], ok=ok,
+            T_c_w=T_out, T_cr=T_cr, ref_kf=ref_kf_out,
+            ref_gen=m.kf_gen[jnp.maximum(ref_kf_out, 0)], ok=ok | init,
             n_features=n_feats, n_matches=att.n_match,
-            n_inliers=observed_inliers, made_kf=need_kf, relocalized=relocalized,
+            n_inliers=observed_inliers, made_kf=made, relocalized=relocalized,
+            kp_uv=feats.uv, kp_state=kp_state,
         )
         return st, m, out
 
-    return jax.lax.cond(state.initialized, track_branch, init_branch, m)
+    return track_branch(m)
 
 
 slam_step = functools.partial(
@@ -851,7 +879,14 @@ class SlamSystem:
         (scanned over the buffered frames) — same data flow, K-fold fewer
         host round trips."""
         if self.chunk > 1:
-            self._chunk_buf.append((gray, depth, timestamp))
+            # upload each frame the moment it arrives: the H2D copy then
+            # overlaps the device's work on the previous chunk instead of
+            # bunching at dispatch time (the tunnel makes bulk uploads at
+            # dispatch visible on the critical path)
+            self._chunk_buf.append(
+                (jax.device_put(np.ascontiguousarray(gray)),
+                 jax.device_put(depth), timestamp)
+            )
             if len(self._chunk_buf) >= self.chunk:
                 self._dispatch_chunk()
             return
@@ -888,8 +923,8 @@ class SlamSystem:
     def _dispatch_chunk(self) -> None:
         """Track + background the buffered frames as two scanned dispatches."""
         buf, self._chunk_buf = self._chunk_buf, []
-        grays = np.ascontiguousarray(np.stack([g for g, _, _ in buf]))
-        depths = np.ascontiguousarray(np.stack([d for _, d, _ in buf]))
+        grays = jnp.stack([g for g, _, _ in buf])   # device-resident stack
+        depths = jnp.stack([d for _, d, _ in buf])
         ts = np.asarray([t for _, _, t in buf], np.float32)
         self.state, self.map, outs, descs, desc_valids = track_chunk(
             self.state, self.map, grays, depths, jnp.asarray(ts),
@@ -1022,12 +1057,18 @@ class SlamSystem:
         self._flush()
         if self.enable_loop_closing:
             self._drain_loop_queue(final=True)
+        keys = ("kf_pose", "kf_valid", "kf_gen", "cull_parent",
+                "cull_parent_gen", "cull_gen", "kf_tcp")
+        # start every D2H copy before reading any: a sequential device_get
+        # pays one tunnel round trip PER LEAF (~5 ms each, dozens of
+        # leaves); async-first overlaps them into ~one round trip
+        for leaf in jax.tree.leaves((self._outs, [getattr(self.map, k) for k in keys])):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
         outs = self._per_frame(jax.device_get(self._outs))
-        arrays = {
-            k: np.asarray(getattr(self.map, k))
-            for k in ("kf_pose", "kf_valid", "kf_gen", "cull_parent",
-                      "cull_parent_gen", "cull_gen", "kf_tcp")
-        }
+        arrays = {k: np.asarray(getattr(self.map, k)) for k in keys}
         traj, stats = [], []
         for o in outs:
             T_c_w = recover_frame_pose(

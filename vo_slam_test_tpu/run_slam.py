@@ -33,6 +33,12 @@ def main(argv=None):
                     help="full SLAM (map + local BA) instead of frame-to-frame VO")
     ap.add_argument("--vocabulary", default=None,
                     help="vocabulary .npz for BoW relocalization / loop closing")
+    ap.add_argument("--hud-out", default=None,
+                    help="directory for per-frame HUD renders (keypoint "
+                         "boxes: green=map-tracked, blue=VO-tracked; "
+                         "status bar), like the reference's frame viewer")
+    ap.add_argument("--hud-every", type=int, default=1,
+                    help="render every Nth frame to --hud-out")
     ap.add_argument("--chunk", type=int, default=1,
                     help="track frames in scanned chunks of this size (one "
                          "device dispatch per chunk; throughput mode)")
@@ -89,10 +95,13 @@ def main(argv=None):
                 voc = Vocabulary.load(args.vocabulary)
         tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba,
                              chunk=args.chunk)
+        hud_grays = []
         t0 = time.perf_counter()
         for i in range(len(seq)):
             gray, depth, ts = seq[i]
             tracker.track(gray, depth, ts)
+            if args.hud_out and i % args.hud_every == 0:
+                hud_grays.append((i, gray))
         trajectory, stats, kf_traj = tracker.results()
         wall = time.perf_counter() - t0
         print(f"wall time: {wall/len(seq)*1000:.2f} ms/frame (incl. first-frame compile)")
@@ -109,6 +118,19 @@ def main(argv=None):
         if args.vocabulary_out:
             tracker.create_vocabulary().save(args.vocabulary_out)
             print(f"scene vocabulary saved to {args.vocabulary_out}")
+        if args.hud_out:
+            import jax as _jax
+
+            from .viz.drawer import save_hud_frames
+
+            outs = tracker._per_frame(_jax.device_get(tracker._outs))
+            n = save_hud_frames(
+                args.hud_out,
+                (g for _, g in hud_grays),
+                (outs[i] for i, _ in hud_grays),
+                every=1,
+            )
+            print(f"{n} HUD frames saved to {args.hud_out}")
         if args.map_out:
             from .viz import plot_map, snapshot_map
 

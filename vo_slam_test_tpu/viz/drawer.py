@@ -118,3 +118,79 @@ def save_metrics_csv(path: str, timestamps: Sequence[float], stats: Sequence) ->
         f.write("timestamp,ok,n_features,n_matches,n_inliers\n")
         for t, s in zip(timestamps, stats):
             f.write(f"{t:.6f},{int(s.ok)},{s.n_features},{s.n_matches},{s.n_inliers}\n")
+
+
+# ---------------------------------------------------------------------------
+# Per-frame HUD (the reference Drawer::drawCurrFrameImg, drawer.cpp:368-459):
+# green box+dot per map-tracked keypoint, blue box+dot per VO-tracked
+# keypoint, and a status line with the tracked counts.
+# ---------------------------------------------------------------------------
+
+_HUD_STATES = {0: "NOT READY", 1: "INITIALIZING", 2: "OK", 3: "LOST"}
+
+
+def draw_hud_frame(
+    gray: np.ndarray,
+    kp_uv: np.ndarray,
+    kp_state: np.ndarray,
+    ok: bool,
+    frame_id: int = -1,
+    r: int = 5,
+) -> np.ndarray:
+    """Render the tracking HUD onto a gray frame; returns [H,W,3] u8.
+
+    kp_state: 0 untracked, 1 map-tracked (green), 2 VO-tracked (blue) —
+    the inMapFlag/inVOFlag split of drawer.cpp:430-459."""
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(np.asarray(gray, np.uint8), "L").convert("RGB")
+    d = ImageDraw.Draw(img)
+    colors = {1: (0, 255, 0), 2: (65, 105, 225)}
+    n_map = n_vo = 0
+    H, W = gray.shape[:2]
+    for (u, v), s in zip(np.asarray(kp_uv), np.asarray(kp_state)):
+        if s not in colors or not (0 <= u < W and 0 <= v < H):
+            continue
+        c = colors[int(s)]
+        d.rectangle([u - r, v - r, u + r, v + r], outline=c)
+        d.ellipse([u - 2, v - 2, u + 2, v + 2], fill=c)
+        if s == 1:
+            n_map += 1
+        else:
+            n_vo += 1
+    state = "OK" if ok else "LOST"
+    text = (f"frame {frame_id}  {state}  map tracked: {n_map}  "
+            f"vo tracked: {n_vo}")
+    # status bar appended below the image (drawTextOnImg composes a text
+    # strip under the frame)
+    bar = Image.new("RGB", (img.width, 22), (20, 20, 20))
+    ImageDraw.Draw(bar).text((6, 4), text, fill=(240, 240, 240))
+    out = Image.new("RGB", (img.width, img.height + bar.height))
+    out.paste(img, (0, 0))
+    out.paste(bar, (0, img.height))
+    return np.asarray(out)
+
+
+def save_hud_frames(
+    out_dir: str,
+    grays,
+    outs,
+    every: int = 1,
+) -> int:
+    """Write hud_%05d.png for every `every`-th frame; returns count."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for i, (g, o) in enumerate(zip(grays, outs)):
+        if i % every:
+            continue
+        img = draw_hud_frame(
+            g, np.asarray(o.kp_uv), np.asarray(o.kp_state),
+            bool(np.asarray(o.ok)), frame_id=i,
+        )
+        Image.fromarray(img).save(os.path.join(out_dir, f"hud_{i:05d}.png"))
+        n += 1
+    return n
