@@ -148,7 +148,21 @@ def detect_pyramid(
     has_hi = jnp.any(cells > threshold_hi, axis=-1, keepdims=True)
     eligible = jnp.where(has_hi, jnp.where(cells > threshold_hi, cells, 0.0), cells)
 
-    vals, idx = jax.lax.top_k(eligible, top_k)  # [L, C, K]
+    # top-K by K iterated argmaxes: lax.top_k lowers to a FULL SORT of the
+    # 900-wide cell axis (measured 1.5 ms/frame on v5e); K=8 masked argmax
+    # passes do the same selection (same first-index tie-break) in a few
+    # cheap reduce+select sweeps
+    iota = jnp.arange(eligible.shape[-1], dtype=jnp.int32)
+    cur = eligible
+    vals_l, idx_l = [], []
+    for _ in range(top_k):
+        i = jnp.argmax(cur, axis=-1).astype(jnp.int32)       # [L, C]
+        v = jnp.max(cur, axis=-1)
+        vals_l.append(v)
+        idx_l.append(i)
+        cur = jnp.where(iota[None, None, :] == i[..., None], -1.0, cur)
+    vals = jnp.stack(vals_l, axis=-1)                         # [L, C, K]
+    idx = jnp.stack(idx_l, axis=-1)
     cy = idx // CELL
     cx = idx % CELL
     cell_ids = jnp.arange(ncy * ncx, dtype=jnp.int32)

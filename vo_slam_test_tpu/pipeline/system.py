@@ -597,6 +597,7 @@ def _mapping_step(
     cam: Camera,
     scale_factors: jnp.ndarray,
     interrupt_ba: jnp.ndarray | None = None,
+    bow_group_div: jnp.ndarray | None = None,
 ):
     """The local-mapping chain for one new keyframe, dispatched every frame
     with a no-op branch (so the host never syncs on the made_kf flag).
@@ -613,7 +614,9 @@ def _mapping_step(
     def work(m):
         kid = jnp.maximum(kf_id, 0)
         m = culling.cull_map_points(m, kid, caps)
-        m = triangulate.create_new_map_points(m, kid, caps, cam, scale_factors)
+        m = triangulate.create_new_map_points(
+            m, kid, caps, cam, scale_factors, bow_group_div=bow_group_div
+        )
         m = fuse.search_in_neighbors(m, kid, caps, cam, scale_factors)
         m = local_ba.local_bundle_adjust(
             m, kid, caps, cam, 1.0 / (scale_factors * scale_factors),
@@ -639,6 +642,7 @@ def background_step(
     did_kf: jnp.ndarray,
     kf_id: jnp.ndarray,
     interrupt_ba: jnp.ndarray,
+    bow_group_div: jnp.ndarray,
     caps: MapCaps,
     cam: Camera,
     scale_factors: jnp.ndarray,
@@ -653,7 +657,8 @@ def background_step(
     cores, or a dedicated second chip) it leaves the tracking path
     entirely."""
     m = _mapping_step(
-        m, did_kf, kf_id, caps, cam, scale_factors, interrupt_ba=interrupt_ba
+        m, did_kf, kf_id, caps, cam, scale_factors, interrupt_ba=interrupt_ba,
+        bow_group_div=bow_group_div,
     )
     if with_loop:
         loop_state, cand, cand_gen = loop_closing.detect_step(
@@ -731,6 +736,7 @@ def background_chunk(
     did_kf: jnp.ndarray,      # [K] bool — made_kf per chunk frame
     kf_id: jnp.ndarray,       # [K] i32 — ref_kf per chunk frame
     interrupt_ba: jnp.ndarray,
+    bow_group_div: jnp.ndarray,
     caps: MapCaps,
     cam: Camera,
     scale_factors: jnp.ndarray,
@@ -744,7 +750,8 @@ def background_chunk(
         mm, ls = carry
         did, kid = xs
         mm = _mapping_step(
-            mm, did, kid, caps, cam, scale_factors, interrupt_ba=interrupt_ba
+            mm, did, kid, caps, cam, scale_factors, interrupt_ba=interrupt_ba,
+            bow_group_div=bow_group_div,
         )
         if with_loop:
             ls, cand, cand_gen = loop_closing.detect_step(mm, ls, did, kid, caps)
@@ -834,6 +841,12 @@ class SlamSystem:
         # then yields after one iteration. Serialized single-chip execution
         # never backlogs, so it stays False there.
         self._interrupt_ba = jnp.asarray(False)
+        # featVec bucket divisor for searchForTriangulation parity
+        # (matcher.cpp:903-965): word // k^levels_up at levels_up=3
+        self._bow_group_div = jnp.asarray(
+            vocabulary.k ** min(3, vocabulary.levels) if vocabulary else 0,
+            jnp.int32,
+        )
         self._frame_desc: List = []     # per-frame (desc, valid) device refs
         self._desc_archive_cap = 4096   # ~32 KB/frame of HBM
         self.loop_closures: List[int] = []
@@ -901,8 +914,8 @@ class SlamSystem:
         )
         self.map, self.loop_state, cand, cand_gen = background_step(
             self.map, self.loop_state, out.made_kf, out.ref_kf,
-            self._interrupt_ba, self.caps, self.camera, self.scale_factors,
-            self.enable_loop_closing,
+            self._interrupt_ba, self._bow_group_div, self.caps, self.camera,
+            self.scale_factors, self.enable_loop_closing,
         )
         if self.enable_loop_closing:
             self._queue_loop(
@@ -935,8 +948,8 @@ class SlamSystem:
         )
         self.map, self.loop_state, cands, cand_gens = background_chunk(
             self.map, self.loop_state, outs.made_kf, outs.ref_kf,
-            self._interrupt_ba, self.caps, self.camera, self.scale_factors,
-            self.enable_loop_closing,
+            self._interrupt_ba, self._bow_group_div, self.caps, self.camera,
+            self.scale_factors, self.enable_loop_closing,
         )
         k = len(buf)
         if self.enable_loop_closing:

@@ -58,11 +58,25 @@ def create_new_map_points(
     caps: MapCaps,
     cam: Camera,
     scale_factors: jnp.ndarray,
+    bow_group_div: jnp.ndarray | None = None,
 ) -> MapState:
+    """bow_group_div: k^levels_up of the loaded vocabulary (device i32;
+    0/None disables). When set, candidate pairs are restricted to the same
+    featVec bucket (word id // div) exactly like the reference's
+    searchForTriangulation lockstep node walk (matcher.cpp:903-965 iterates
+    featVec nodes at levelsup=3; frame.cpp:249-254). Keypoints without a
+    word (or no vocabulary) stay unrestricted — the full epipolar-gated
+    search is the documented superset fallback."""
     K_cap = m.kf_valid.shape[0]
     P = caps.max_pt
     N = caps.n_feat
     K_mat = cam.K
+    if bow_group_div is None:
+        bow_group_div = jnp.asarray(0, jnp.int32)
+    safe_div = jnp.maximum(bow_group_div, 1)
+
+    def groups_of(words):
+        return jnp.where((words >= 0) & (bow_group_div > 0), words // safe_div, -1)
 
     # ---- neighbor selection (top-10 covisible, localMapping.cpp:136) ------
     w_row = m.covis[kf_id] * m.kf_valid.astype(jnp.int32)
@@ -108,8 +122,15 @@ def create_new_map_points(
         sigma2_2 = scale_factors[oct2] ** 2
         epi_ok = d2_line < 3.84 * sigma2_2[None, :]
 
+        # featVec bucket restriction (searchForTriangulation's lockstep
+        # node walk); unknown words escape the gate
+        g1 = groups_of(m.kf_word[kf_id])
+        g2 = groups_of(m.kf_word[nbs])
+        bucket_ok = (
+            (g1[:, None] == g2[None, :]) | (g1 < 0)[:, None] | (g2 < 0)[None, :]
+        )
         allowed = (
-            free1[:, None] & free2[None, :] & epi_ok
+            free1[:, None] & free2[None, :] & epi_ok & bucket_ok
             & ~(mono_pair & epi_close)
         )
         Dm = jnp.where(allowed, D, 1 << 20)
