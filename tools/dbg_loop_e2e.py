@@ -63,16 +63,24 @@ for i in (0, 6, 12, 20, 26, 36, 50):
 voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
 sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=64, max_pt=16384), vocabulary=voc)
 
-# trace every close_step attempt
+# trace every close_step attempt with the gate diagnostics
 from vo_slam_test_tpu.pipeline import loop_closing as _LC
 _orig_close = _LC.close_step
 def _close_dbg(m, ls, kf_id, cand, *a, **k):
-    out = _orig_close(m, ls, kf_id, cand, *a, **k)
+    m2, ls2, acc, info = _orig_close(m, ls, kf_id, cand, *a, **k, diag=True)
     print(f"   close_step kf={int(np.asarray(kf_id))} cand={int(np.asarray(cand))} "
-          f"accept={bool(np.asarray(out[2]))}")
-    return out
+          f"accept={bool(np.asarray(acc))} "
+          f"gates[gen={bool(np.asarray(info['gen_ok']))} "
+          f"bow={int(np.asarray(info['n_bow']))}/20 "
+          f"ransac={int(np.asarray(info['n_ransac']))}/20 "
+          f"ref={int(np.asarray(info['n_ref']))}/20 "
+          f"proj={int(np.asarray(info['total']))}/40]")
+    return m2, ls2, acc
 _LC.close_step = _close_dbg
-drift = se3(tx=0.12, ty=0.05, ry=0.02)
+# large drift: revisit must NOT re-anchor onto the old undrifted points
+# (0.12 m was within the high-octave local-search windows — tracking
+# silently healed the island and no loop was left to close)
+drift = se3(tx=0.45, ty=0.15, ry=0.06)
 kf_cut = pt_cut = None
 cut_done = False
 for i in range(len(seq)):

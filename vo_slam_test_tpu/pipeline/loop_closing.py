@@ -193,7 +193,7 @@ def detect_step(
     return jax.lax.cond(did_kf & (kf_id >= 0), work, noop, (m, ls))
 
 
-@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("caps", "diag"), donate_argnums=(0,))
 def close_step(
     m: MapState,
     ls: LoopState,
@@ -206,9 +206,11 @@ def close_step(
     voc_groups_cand: jnp.ndarray,
     kf_gen_expect: jnp.ndarray = None,   # i32 kf_gen of kf_id at detect time
     cand_gen_expect: jnp.ndarray = None,  # i32 kf_gen of cand_kf at detect time
+    diag: bool = False,   # static: also return the gate diagnostics
 ) -> Tuple[MapState, LoopState, jnp.ndarray]:
     """Attempt Sim3 verification + loop correction. Returns
-    (map, loop state, success flag).
+    (map, loop state, success flag) — plus a gate-diagnostics dict
+    (n_bow/n_ransac/n_ref/total vs the 20/20/20/40 gates) when diag=True.
 
     The generation guards reject a queued candidate whose keyframe slot was
     culled and recycled between detection and this (drain-batched) call —
@@ -398,6 +400,11 @@ def close_step(
     ls = ls.replace(
         last_loop_seq=jnp.where(accept, m.kf_seq[kf], ls.last_loop_seq)
     )
+    if diag:
+        return m, ls, accept, {
+            "gen_ok": gen_ok, "n_bow": n_bow, "n_ransac": n_ransac,
+            "n_ref": n_ref, "total": total,
+        }
     return m, ls, accept
 
 

@@ -895,11 +895,14 @@ class SlamSystem:
             # upload each frame the moment it arrives: the H2D copy then
             # overlaps the device's work on the previous chunk instead of
             # bunching at dispatch time (the tunnel makes bulk uploads at
-            # dispatch visible on the critical path)
-            self._chunk_buf.append(
-                (jax.device_put(np.ascontiguousarray(gray)),
-                 jax.device_put(depth), timestamp)
-            )
+            # dispatch visible on the critical path). Frames that are
+            # ALREADY device arrays (pre-staged by the caller, or re-fed by
+            # _flush) pass through untouched — np.ascontiguousarray on a
+            # device array would be a blocking device->host round trip.
+            g = gray if isinstance(gray, jax.Array) else jax.device_put(
+                np.ascontiguousarray(gray))
+            d = depth if isinstance(depth, jax.Array) else jax.device_put(depth)
+            self._chunk_buf.append((g, d, timestamp))
             if len(self._chunk_buf) >= self.chunk:
                 self._dispatch_chunk()
             return

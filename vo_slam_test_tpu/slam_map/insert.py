@@ -84,28 +84,35 @@ def insert_keyframe(
     is live — argmax(~kf_valid) would otherwise silently overwrite slot 0,
     the gauge keyframe, if a future call site forgot the capacity gate.
 
-    `do` PREDICATES the insert instead of branching on it: every write is
-    value-masked (row writes write back the row's own values, point-spawn
-    scatters dump to the reserved row P-1), so a False `do` leaves the map
-    bit-identical. A lax.cond here made XLA materialize copies of the big
-    map arrays on the not-taken branch every frame (~3 ms/frame on v5e);
-    masked in-place updates on the donated buffer cost ~nothing when idle."""
+    `do` gates the insert through lax.cond: a False `do` returns the map
+    untouched. An earlier revision value-masked every write instead of
+    branching (predication), betting that the cond's not-taken identity
+    branch copied the big map arrays each frame — measured the opposite:
+    predication runs the whole spawn/observation/covis/refresh_points
+    chain (a [2048,O,O] Hamming sort among it) on EVERY frame,
+    +5 ms/frame device, while the cond's identity branch on donated
+    buffers is nearly free (455df7b 447 ms vs d876a54 667 ms per 40-frame
+    chunk trace). Keyframe frames pay the insert either way."""
     can = (m.n_kf < m.kf_valid.shape[0]) | jnp.any(~m.kf_valid)
     do = can if do is None else (can & do)
-    return _insert_keyframe(
-        m, caps, feats, T_c_w, timestamp, frame_id, assign, create_mask,
-        cam, scale_factors, words, bow_word, bow_weight, do,
+    return jax.lax.cond(
+        do,
+        lambda m: _insert_keyframe(
+            m, caps, feats, T_c_w, timestamp, frame_id, assign, create_mask,
+            cam, scale_factors, words, bow_word, bow_weight,
+        ),
+        lambda m: (m, jnp.asarray(-1, jnp.int32)),
+        m,
     )
 
 
 def _insert_keyframe(
     m, caps, feats, T_c_w, timestamp, frame_id, assign, create_mask,
-    cam, scale_factors, words, bow_word, bow_weight, do,
+    cam, scale_factors, words, bow_word, bow_weight,
 ):
     N = caps.n_feat
     P = caps.max_pt
     K = m.kf_valid.shape[0]
-    doi = do.astype(jnp.int32)
     # slot lifecycle: bump-allocate until the capacity high-water mark, then
     # reuse the lowest culled slot (the reference map is unbounded,
     # map.h:16-17; fixed shapes recycle instead). kf_gen disambiguates
@@ -113,42 +120,33 @@ def _insert_keyframe(
     first_free = jnp.argmax(~m.kf_valid).astype(jnp.int32)
     kf_id = jnp.where(m.n_kf < K, jnp.minimum(m.n_kf, K - 1), first_free)
 
-    # ---- keyframe record (row writes value-masked on `do`) -----------------
-    rowset = lambda arr, val: arr.at[kf_id].set(
-        jnp.where(
-            jnp.reshape(do, (1,) * (arr.ndim - 1)) if arr.ndim > 1 else do,
-            val, arr[kf_id],
-        )
-    )
+    # ---- keyframe record ---------------------------------------------------
     m = m.replace(
-        kf_pose=rowset(m.kf_pose, T_c_w),
-        kf_valid=m.kf_valid.at[kf_id].set(m.kf_valid[kf_id] | do),
-        kf_gen=m.kf_gen.at[kf_id].add(doi),
-        kf_seq=rowset(m.kf_seq, m.n_kf_ever),
-        n_kf_ever=m.n_kf_ever + doi,
-        loop_edges=(
-            m.loop_edges.at[kf_id, :].set(m.loop_edges[kf_id, :] & ~do)
-            .at[:, kf_id].set(m.loop_edges[:, kf_id] & ~do)
-        ),
-        kf_timestamp=rowset(m.kf_timestamp, timestamp),
-        kf_frame_id=rowset(m.kf_frame_id, frame_id),
-        kf_uv_und=rowset(m.kf_uv_und, feats.uv_und),
-        kf_octave=rowset(m.kf_octave, feats.octave),
-        kf_angle=rowset(m.kf_angle, feats.angle),
-        kf_depth=rowset(m.kf_depth, feats.depth),
-        kf_u_right=rowset(m.kf_u_right, feats.u_right),
-        kf_desc=rowset(m.kf_desc, feats.desc),
-        kf_kp_valid=rowset(m.kf_kp_valid, feats.valid),
+        kf_pose=m.kf_pose.at[kf_id].set(T_c_w),
+        kf_valid=m.kf_valid.at[kf_id].set(True),
+        kf_gen=m.kf_gen.at[kf_id].add(1),
+        kf_seq=m.kf_seq.at[kf_id].set(m.n_kf_ever),
+        n_kf_ever=m.n_kf_ever + 1,
+        loop_edges=m.loop_edges.at[kf_id, :].set(False).at[:, kf_id].set(False),
+        kf_timestamp=m.kf_timestamp.at[kf_id].set(timestamp),
+        kf_frame_id=m.kf_frame_id.at[kf_id].set(frame_id),
+        kf_uv_und=m.kf_uv_und.at[kf_id].set(feats.uv_und),
+        kf_octave=m.kf_octave.at[kf_id].set(feats.octave),
+        kf_angle=m.kf_angle.at[kf_id].set(feats.angle),
+        kf_depth=m.kf_depth.at[kf_id].set(feats.depth),
+        kf_u_right=m.kf_u_right.at[kf_id].set(feats.u_right),
+        kf_desc=m.kf_desc.at[kf_id].set(feats.desc),
+        kf_kp_valid=m.kf_kp_valid.at[kf_id].set(feats.valid),
     )
     if words is not None:
         m = m.replace(
-            kf_word=rowset(m.kf_word, words),
-            kf_bow_word=rowset(m.kf_bow_word, bow_word),
-            kf_bow_weight=rowset(m.kf_bow_weight, bow_weight),
+            kf_word=m.kf_word.at[kf_id].set(words),
+            kf_bow_word=m.kf_bow_word.at[kf_id].set(bow_word),
+            kf_bow_weight=m.kf_bow_weight.at[kf_id].set(bow_weight),
         )
 
     # ---- spawn new points --------------------------------------------------
-    create = create_mask & feats.valid & (assign < 0) & do
+    create = create_mask & feats.valid & (assign < 0)
     new_ids = allocate_point_slots(m, create)
     in_cap = create & (new_ids >= 0)
     new_ids_safe = jnp.where(in_cap, new_ids, P - 1)
@@ -182,10 +180,8 @@ def _insert_keyframe(
     )
 
     # ---- kf_mp row + observations -----------------------------------------
-    row = jnp.where(
-        do & (assign >= 0), assign, jnp.where(in_cap, new_ids_safe, -1)
-    )
-    m = m.replace(kf_mp=rowset(m.kf_mp, row))
+    row = jnp.where(assign >= 0, assign, jnp.where(in_cap, new_ids_safe, -1))
+    m = m.replace(kf_mp=m.kf_mp.at[kf_id].set(row))
     kp_ids = jnp.arange(N, dtype=jnp.int32)
     m = add_observations(m, jnp.maximum(row, 0), kf_id, kp_ids, row >= 0)
 
@@ -193,24 +189,18 @@ def _insert_keyframe(
     member = jnp.zeros((P,), bool).at[jnp.maximum(row, 0)].max(row >= 0)
     w = covis_row_for(m, member)
     w = w.at[kf_id].set(0)
-    w = jnp.where(do, w, 0)
-    m = m.replace(
-        covis=(
-            m.covis.at[kf_id, :].set(jnp.where(do, w, m.covis[kf_id, :]))
-            .at[:, kf_id].set(jnp.where(do, w, m.covis[:, kf_id]))
-        )
-    )
+    m = m.replace(covis=m.covis.at[kf_id, :].set(w).at[:, kf_id].set(w))
     best = jnp.argmax(w).astype(jnp.int32)
     parent = jnp.where((w[best] > 0) & (kf_id > 0), best, -1)
     m = m.replace(
-        parent=rowset(m.parent, parent),
-        n_kf=jnp.minimum(m.n_kf + doi, jnp.int32(m.kf_valid.shape[0])),
+        parent=m.parent.at[kf_id].set(parent),
+        n_kf=jnp.minimum(m.n_kf + 1, jnp.int32(m.kf_valid.shape[0])),
     )
 
     # ---- refresh normals/depth/descriptor of touched pre-existing points --
-    touched = jnp.zeros((P,), bool).at[jnp.maximum(assign, 0)].max(do & (assign >= 0))
+    touched = jnp.zeros((P,), bool).at[jnp.maximum(assign, 0)].max(assign >= 0)
     m = refresh_points(m, touched, scale_factors)
-    return m, jnp.where(do, kf_id, -1)
+    return m, kf_id
 
 
 MAX_REFRESH = 2048  # touched points per refresh call (a KF touches <= ~1k)
