@@ -51,6 +51,11 @@ def main(argv=None):
                     help="save the keyframe trajectory (TUM format) here (implies --slam)")
     ap.add_argument("--map-out", default=None,
                     help="render the final map (points + keyframes + graph edges) to this PNG (implies --slam)")
+    ap.add_argument("--viewer-out", default=None,
+                    help="export an interactive 3D map viewer (single "
+                         "self-contained HTML: orbit/zoom, frusta, "
+                         "covis/tree/loop edges, trajectory playback with "
+                         "follow-cam) to this path (implies --slam)")
     ap.add_argument("--metrics-out", default=None,
                     help="write per-frame tracking metrics CSV here")
     ap.add_argument("--events-out", default=None,
@@ -80,7 +85,8 @@ def main(argv=None):
             width=cfg.camera_width, height=cfg.camera_height,
         )
 
-    if args.vocabulary_out or args.keyframe_out or args.map_out or args.events_out:
+    if (args.vocabulary_out or args.keyframe_out or args.map_out
+            or args.events_out or args.viewer_out):
         args.slam = True
 
     if args.slam:
@@ -136,6 +142,15 @@ def main(argv=None):
 
             plot_map(snapshot_map(tracker.map), args.map_out)
             print(f"map render saved to {args.map_out}")
+        if args.viewer_out:
+            from .viz import snapshot_map
+            from .viz.webviewer import export_html
+
+            export_html(
+                snapshot_map(tracker.map), args.viewer_out,
+                traj_T_w_c=np.stack(trajectory) if len(trajectory) else None,
+            )
+            print(f"interactive viewer saved to {args.viewer_out}")
     elif args.sync:
         tracker = FrameToFrameTracker(cfg)
         times = []
