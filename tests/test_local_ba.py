@@ -140,6 +140,7 @@ class TestLocalBA:
         assert int(np.array(m2.pt_obs_cnt)[7]) == obs_before - 1
 
 
+@pytest.mark.slow  # interpret-mode Pallas on CPU: ~100 s of the fast tier
 class TestPallasParity:
     """ops/ba_pallas.py (interpret mode on CPU) vs the XLA [blk,O,L] path.
 
@@ -241,6 +242,7 @@ class TestInterruptBA:
     each LM pass to one iteration but still classifies outliers and writes
     back a consistent map."""
 
+    @pytest.mark.slow  # ~31 s: second full local-BA compile in the file
     def test_stop_flag_bounds_iterations_but_writes_back(self):
         import sys as _sys
         _sys.path.insert(0, "/root/repo/tools")

@@ -126,7 +126,15 @@ def build_drifted_loop_map(cam):
     pt_obs_cnt = np.zeros(P, np.int32)
     pt_obs_cnt[: 2 * NP_PTS] = 1
 
+    # insertion sequence numbers: close_step re-checks the >=10-KF loop gap
+    # against kf_seq (loopClosing.cpp:62-67 semantics), so the hand-built
+    # chain gets seqs 10..19 — as a map whose first ten keyframes were culled
+    kf_seq = np.full(K, -1, np.int32)
+    kf_seq[:10] = 10 + np.arange(10)
+
     m = m.replace(
+        kf_seq=jnp.asarray(kf_seq),
+        n_kf_ever=jnp.asarray(20, jnp.int32),
         kf_pose=jnp.asarray(kf_pose),
         kf_valid=jnp.asarray(kf_valid),
         kf_uv_und=jnp.asarray(kf_uv),
@@ -151,6 +159,7 @@ def build_drifted_loop_map(cam):
 
 
 class TestCloseStep:
+    @pytest.mark.slow  # ~33 s: compiles the full close_step program
     def test_loop_correction_propagates_drift(self):
         cfg = SlamConfig(
             camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0

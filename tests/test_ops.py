@@ -66,6 +66,8 @@ class TestGaussian:
 
 
 class TestPyramid:
+    @pytest.mark.slow  # ~28 s: 8-level full-res golden; pyramid is also
+    # covered by the extractor end-to-end tests in the fast tier
     def test_levels_match_cv2_resize_chain(self, test_image):
         spec = PyramidSpec(640, 480, 8, 1.2)
         pyr = build_pyramid(jnp.asarray(test_image), spec)

@@ -118,6 +118,7 @@ class TestProductionLocalBAMesh:
     must reproduce the single-device result (same problem, same semantics;
     only float summation order differs across the psum)."""
 
+    @pytest.mark.slow  # ~18 s: compiles the production BA twice (mesh + single)
     def test_mesh_matches_single_device(self):
         import sys as _sys
         _sys.path.insert(0, "/root/repo/tools")

@@ -1,12 +1,13 @@
 import sys, os; sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
-os.environ["JAX_PLATFORMS"] = "cpu"  # BEFORE jax import: keeps the axon
-# remote-compile interposer out, so cache entries stay host-local
+# Default: run on the REAL TPU — compiles go through the remote compiler
+# ONCE and persist in ~/.cache/jax_vo_slam_tpu, so scenario iterations are
+# minutes, not the ~15 min of fresh CPU compiles per run (the CPU persistent
+# cache is unusable: the axon interposer poisons it with mismatched AOT
+# artifacts — conftest.py). DBG_CPU=1 forces CPU (cache off, slow, hermetic).
 import jax
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_test_cache")
-jax.config.update("jax_enable_compilation_cache", False)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if os.environ.get("DBG_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_compilation_cache", False)
 import numpy as np
 import jax.numpy as jnp
 from test_loop_e2e import drift_island, se3
@@ -61,16 +62,25 @@ for i in (0, 6, 12, 20, 26, 36, 50):
     f = ext(g, d)
     descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
 voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
-sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=64, max_pt=16384), vocabulary=voc)
+sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=64, max_pt=16384), vocabulary=voc,
+                  drain_chunk=1)
 
 # trace every close_step attempt with the gate diagnostics
 from vo_slam_test_tpu.pipeline import loop_closing as _LC
 _orig_close = _LC.close_step
 def _close_dbg(m, ls, kf_id, cand, *a, **k):
+    ki, ci = int(np.asarray(kf_id)), int(np.asarray(cand))
+    print(f"   pre-close: kf{ki} valid={bool(np.asarray(m.kf_valid[ki]))} "
+          f"gen={int(np.asarray(m.kf_gen[ki]))} cand{ci} "
+          f"valid={bool(np.asarray(m.kf_valid[ci]))} "
+          f"gen={int(np.asarray(m.kf_gen[ci]))} "
+          f"expect kf_gen={int(np.asarray(k.get('kf_gen_expect', -1)))} "
+          f"cand_gen={int(np.asarray(k.get('cand_gen_expect', -1)))}")
     m2, ls2, acc, info = _orig_close(m, ls, kf_id, cand, *a, **k, diag=True)
     print(f"   close_step kf={int(np.asarray(kf_id))} cand={int(np.asarray(cand))} "
           f"accept={bool(np.asarray(acc))} "
           f"gates[gen={bool(np.asarray(info['gen_ok']))} "
+          f"gap={bool(np.asarray(info['gap_ok']))} "
           f"bow={int(np.asarray(info['n_bow']))}/20 "
           f"ransac={int(np.asarray(info['n_ransac']))}/20 "
           f"ref={int(np.asarray(info['n_ref']))}/20 "
@@ -79,8 +89,13 @@ def _close_dbg(m, ls, kf_id, cand, *a, **k):
 _LC.close_step = _close_dbg
 # large drift: revisit must NOT re-anchor onto the old undrifted points
 # (0.12 m was within the high-octave local-search windows — tracking
-# silently healed the island and no loop was left to close)
-drift = se3(tx=0.45, ty=0.15, ry=0.06)
+# silently healed the island and no loop was left to close). The rotation
+# must shift the image the SAME direction as the translation: with
+# (tx=0.45, ry=+0.06) the f*tx/z and f*ry terms cancel near z~5m and far
+# wall points re-matched; opposite-sign ry makes the minimum offset
+# f*|ry| ~ 42 px > the largest (43 px) high-octave search window only
+# when combined with the translation term, so no depth can cancel.
+drift = se3(tx=0.5, ty=0.2, ry=-0.08)
 kf_cut = pt_cut = None
 cut_done = False
 for i in range(len(seq)):
@@ -90,7 +105,10 @@ for i in range(len(seq)):
         kf_cut = int(np.asarray(sys_.map.n_kf))
         print(f"frame {i}: island cut recorded kf_cut={kf_cut}")
     if i == 27 and not cut_done:
+        pre_poses = np.asarray(sys_.map.kf_pose).copy()   # pre-injection
+        pre_valid = np.asarray(sys_.map.kf_valid).copy()
         nk, npts = drift_island(sys_, kf_cut, drift)
+        island = pre_valid.copy(); island[:kf_cut] = False
         # also shift the tracking state if its ref KF is in the island:
         # T_cr is relative so it follows the ref pose automatically
         print(f"frame {i}: drift injected over {nk} KFs, {npts} pts")
@@ -113,6 +131,14 @@ counts = np.asarray(sys_.loop_state.counts)
 print("final consistency counts:", counts[counts > 0])
 gt = np.stack([seq.poses[i] for i in range(len(seq))])
 t_err = np.linalg.norm(np.stack(traj_est)[:, :3, 3] - gt[:, :3, 3], axis=1)
-print("t_err tail:", np.round(t_err[-10:], 3))
-print("t_err mid:", np.round(t_err[14:22], 3))
+print("t_err full:", np.round(t_err, 3).tolist())
+
+# island-pose recovery: the injected drift is RIGID, so a perfect closure
+# returns every island keyframe to its recorded pre-injection pose —
+# independent of the natural drift the estimator accumulated vs gt
+final_poses = np.asarray(sys_.map.kf_pose)
+drift_mag = np.linalg.norm(drift[:3, 3])
+rec = np.linalg.norm(final_poses[island][:, :3, 3] - pre_poses[island][:, :3, 3], axis=1)
+print(f"island recovery: |D|={drift_mag:.3f} residual per-KF t err "
+      f"{np.round(rec, 3).tolist()}")
 

@@ -15,7 +15,7 @@ from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.slam_map.map_state import MapCaps, empty_map
 
 
-def build(caps=MapCaps(), n_kf=40, n_pt=8000, seed=0):
+def build(caps=MapCaps(), n_kf=40, n_pt=8000, seed=0, span_max=7):
     rng = np.random.default_rng(seed)
     K, P, O, N = caps.max_kf, caps.max_pt, caps.max_obs, caps.n_feat
     n_kf = min(n_kf, K)
@@ -40,7 +40,7 @@ def build(caps=MapCaps(), n_kf=40, n_pt=8000, seed=0):
 
     # each point observed by a run of consecutive KFs
     first = rng.integers(0, n_kf, n_pt)
-    span = rng.integers(2, min(7, O), n_pt)
+    span = rng.integers(2, min(span_max, O), n_pt)
 
     pt_obs_kf = np.full((P, O), -1, np.int32)
     pt_obs_kp = np.full((P, O), -1, np.int32)

@@ -304,7 +304,18 @@ def close_step(
         m, fr_u, fr_valid, kf, cam, scale_factors, radius=7.5
     )
     total = jnp.sum((lm >= 0).astype(jnp.int32))
-    accept = gen_ok & (n_bow >= 20) & (n_ransac >= 20) & (n_ref >= 20) & (total >= 40)
+    # re-check the >=10-KF gap HERE, not only at detection: detection for
+    # keyframe k+1 runs in the device pipeline before the host processes
+    # keyframe k's closure, so a loop accepted at k leaves k+1's queued
+    # candidate carrying a stale gap verdict. The reference never sees this
+    # hazard — its LoopClosing thread runs detect and close serially
+    # (loopClosing.cpp:17-37), so mLastLoopKFid_ is always current at the
+    # detect gate (:62-67); this check restores those serial semantics.
+    gap_ok = m.kf_seq[kf] >= ls.last_loop_seq + MIN_KF_GAP
+    accept = (
+        gen_ok & gap_ok
+        & (n_bow >= 20) & (n_ransac >= 20) & (n_ref >= 20) & (total >= 40)
+    )
 
     # ---- correctLoop (loopClosing.cpp:350-492) ----------------------------
     def do_correct(m):
@@ -402,8 +413,8 @@ def close_step(
     )
     if diag:
         return m, ls, accept, {
-            "gen_ok": gen_ok, "n_bow": n_bow, "n_ransac": n_ransac,
-            "n_ref": n_ref, "total": total,
+            "gen_ok": gen_ok, "gap_ok": gap_ok, "n_bow": n_bow,
+            "n_ransac": n_ransac, "n_ref": n_ref, "total": total,
         }
     return m, ls, accept
 

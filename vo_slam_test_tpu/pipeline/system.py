@@ -803,6 +803,7 @@ class SlamSystem:
         vocabulary: Optional[bow_voc.Vocabulary] = None,
         enable_global_ba: bool = False,
         chunk: int = 1,
+        drain_chunk: int = DRAIN_CHUNK,
     ):
         self.cfg = cfg
         self.caps = caps
@@ -836,6 +837,13 @@ class SlamSystem:
         self.chunk = int(chunk)
         self._chunk_buf: List = []      # buffered (gray, depth, timestamp)
         self._pending_loop: List = []   # (frame_ids, packed [B, 2C+2] device)
+        # frames between loop-candidate readbacks: batching amortizes the
+        # host round trip (throughput mode), but every batched frame delays
+        # close_step past detection — a candidate or current KF culled in
+        # the interim is then (correctly) rejected by the generation guard.
+        # The reference's LoopClosing thread drains within ~a frame
+        # (loopClosing.cpp:17-37); tests that assert closure use 1.
+        self._drain_every = max(1, int(drain_chunk))
         # interruptBA analogue (localMapping.cpp:538-541): raised by a host
         # scheduler when the background worker is backlogged; each LM pass
         # then yields after one iteration. Serialized single-chip execution
@@ -850,7 +858,7 @@ class SlamSystem:
         self._frame_desc: List = []     # per-frame (desc, valid) device refs
         self._desc_archive_cap = 4096   # ~32 KB/frame of HBM
         self.loop_closures: List[int] = []
-        self._inflight_drain = None     # (batch, device array being copied)
+        self._inflight_drain: List = []  # [(frame_ids, device array)] FIFO
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
         self._frame_id = 0
@@ -973,7 +981,7 @@ class SlamSystem:
             [cands, cand_gens, ref_kfs[:, None], ref_gens[:, None]], axis=1
         )  # [B, 2*MAX_CANDS + 2] i32
         self._pending_loop.append((frame_ids, packed))
-        if sum(len(f) for f, _ in self._pending_loop) >= DRAIN_CHUNK:
+        if sum(len(f) for f, _ in self._pending_loop) >= self._drain_every:
             self._drain_loop_queue()
 
     def _drain_loop_queue(self, final: bool = False) -> None:
@@ -989,10 +997,20 @@ class SlamSystem:
         readback measured ~20-25 ms). Loop closure therefore lags up to
         2*DRAIN_CHUNK frames — like the reference's queue-fed LoopClosing
         thread (loopClosing.cpp:17-37)."""
-        ready = self._inflight_drain
-        self._inflight_drain = None
-        if ready is not None:
-            self._process_drain(*ready)   # the older batch, copy long done
+        # process in-flight batches whose copies have LANDED; in throughput
+        # mode (drain_every > 1) a still-copying batch is left in flight
+        # rather than blocked on — np.asarray here would stall the host on
+        # the device finishing the previous chunk's background program,
+        # serializing the pipeline (the reference's LoopClosing thread
+        # never back-pressures tracking either). drain_every == 1 keeps
+        # blocking semantics: prompt closure, one frame behind detection.
+        may_defer = self._drain_every > 1 and not final
+        while self._inflight_drain:
+            fids, arr = self._inflight_drain[0]
+            if may_defer and hasattr(arr, "is_ready") and not arr.is_ready():
+                break
+            self._inflight_drain.pop(0)
+            self._process_drain(fids, arr)
         if self._pending_loop:
             batch = self._pending_loop
             self._pending_loop = []
@@ -1002,10 +1020,11 @@ class SlamSystem:
                 stacked.copy_to_host_async()
             except AttributeError:
                 pass
-            self._inflight_drain = (frame_ids, stacked)
-        if final and self._inflight_drain is not None:
-            self._process_drain(*self._inflight_drain)
-            self._inflight_drain = None
+            self._inflight_drain.append((frame_ids, stacked))
+        if final:
+            for fids, arr in self._inflight_drain:
+                self._process_drain(fids, arr)
+            self._inflight_drain = []
 
     def _process_drain(self, frame_ids, stacked) -> None:
         arr = np.asarray(stacked)

@@ -99,6 +99,10 @@ def cull_keyframes(m: MapState, curr_kf: jnp.ndarray, caps: MapCaps, cam: Camera
     connected = (m.covis[curr_kf] > 0) & m.kf_valid
     connected &= jnp.arange(K) != 0  # never cull KF 0 (localMapping.cpp:445)
     connected &= jnp.arange(K) != curr_kf
+    # keyframes carrying a loop edge are never erased: addLoopEdge sets
+    # notEraseLoopDetecting_ permanently and setEraseLoopDetectingKF only
+    # clears it when loopEdges_ is empty (keyframe.cpp:528-533,547-556)
+    connected &= ~jnp.any(m.loop_edges, axis=1)
 
     # compact the candidate set: the redundancy check gathers [cand, N, O]
     # observer octaves, which is only affordable over the <=32 connected
