@@ -34,13 +34,16 @@ go to stderr for the record.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MS = 70.0
-CHUNK = 8  # frames per scanned tracking dispatch (throughput mode)
+# frames per scanned tracking dispatch (throughput mode); BENCH_CHUNK
+# overrides for host-RTT-amortization sweeps
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 BG_EXECUTABLES = ("background", "close_step", "global_bundle")
 
 

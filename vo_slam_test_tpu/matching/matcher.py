@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import hamming
+from ..ops import hamming, match_pallas
 from . import rotation
 
 TH_HIGH = 100
@@ -88,29 +88,17 @@ def search_by_projection_frame(
     lo = jnp.where(forward, lo_f, jnp.where(backward, lo_b, lo_n))
     hi = jnp.where(forward, hi_f, jnp.where(backward, hi_b, hi_n))
 
-    du = jnp.abs(tgt_uv_und[None, :, 0] - u[:, None])
-    dv = jnp.abs(tgt_uv_und[None, :, 1] - v[:, None])
-    window = (du < r_scale[:, None]) & (dv < r_scale[:, None])
-    oct_ok = (tgt_octave[None, :] >= lo[:, None]) & (tgt_octave[None, :] <= hi[:, None])
-
-    # virtual-stereo consistency (matcher.cpp:88-95)
+    # virtual-stereo consistency (matcher.cpp:88-95) + spatial window +
+    # octave band, fused with the Hamming top-1 into one VMEM-resident
+    # Pallas kernel on TPU (ops/match_pallas.py)
     ur_pred = u - bf * invz
-    ur_err = jnp.abs(ur_pred[:, None] - tgt_u_right[None, :])
-    stereo_ok = (tgt_u_right[None, :] <= 0) | (ur_err <= r_scale[:, None])
-
-    allowed = (
-        window
-        & oct_ok
-        & stereo_ok
-        & src_ok[:, None]
-        & tgt_valid[None, :]
-        & ~tgt_blocked[None, :]
+    best, best_d, _, _ = match_pallas.masked_top2(
+        src_desc, tgt_desc,
+        u, v, r_scale, ur_pred, r_scale,
+        lo, hi, src_ok,
+        tgt_uv_und[:, 0], tgt_uv_und[:, 1], tgt_u_right, tgt_octave,
+        tgt_valid & ~tgt_blocked,
     )
-
-    D = hamming.distance_matrix(src_desc, tgt_desc)
-    D = jnp.where(allowed, D, BIG)
-    best = jnp.argmin(D, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
     matched = best_d <= TH_HIGH
 
     if check_rot:

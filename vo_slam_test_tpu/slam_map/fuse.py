@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .. import lie
 from ..camera import Camera
-from ..ops import hamming
+from ..ops import match_pallas
 from .map_state import MapCaps, MapState
 from .culling import erase_points
 
@@ -102,21 +102,16 @@ def fuse_into_keyframe(
     kp_ok = m.kf_kp_valid[kf_id]
     inv_sig2 = 1.0 / scale_factors[kp_oct] ** 2
 
-    du = kp_uv[None, :, 0] - c_u[:, None]
-    dv = kp_uv[None, :, 1] - c_v[:, None]
-    window = (jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
-    oct_win = (kp_oct[None, :] >= (c_pred - 1)[:, None]) & (kp_oct[None, :] <= c_pred[:, None])
-    e2 = du * du + dv * dv
-    e2s = e2 + (c_ur[:, None] - kp_ur[None, :]) ** 2
-    stereo = kp_ur[None, :] >= 0
-    chi_ok = jnp.where(
-        stereo, e2s * inv_sig2[None, :] <= 7.815, e2 * inv_sig2[None, :] <= 5.991
+    # fused masked-Hamming top-1 with the per-pair chi2 reprojection gate
+    # (ops/match_pallas.py chi2 mode): window + octave band + chi2 + the
+    # [max_cand, N] distance matrix all stay in VMEM on TPU
+    best, best_d, _, _ = match_pallas.masked_top2(
+        c_desc, m.kf_desc[kf_id],
+        c_u, c_v, radius, c_ur, jnp.zeros_like(c_ur),
+        c_pred - 1, c_pred, ok,
+        kp_uv[:, 0], kp_uv[:, 1], kp_ur, kp_oct, kp_ok,
+        col_isig2=inv_sig2, chi2_gate=True,
     )
-    allowed = window & oct_win & chi_ok & ok[:, None] & kp_ok[None, :]
-
-    D = jnp.where(allowed, hamming.distance_matrix(c_desc, m.kf_desc[kf_id]), 1 << 20)
-    best = jnp.argmin(D, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
     matched = best_d <= TH_LOW
 
     # dedup per keypoint: lowest candidate slot wins

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .. import lie
 from ..camera import Camera
-from ..ops import hamming
+from ..ops import match_pallas
 from .map_state import MapState, covis_row_for
 
 MAX_LOCAL_PTS = 4096
@@ -226,24 +226,17 @@ def search_local_points(
     r_base = jnp.where(c_cos > 0.998, 2.5, 4.0) * th_radius
     r_scale = r_base * scale_factors[c_lvl]  # [M]
 
-    du = jnp.abs(tgt_uv_und[None, :, 0] - c_u[:, None])
-    dv = jnp.abs(tgt_uv_und[None, :, 1] - c_v[:, None])
-    window = (du < r_scale[:, None]) & (dv < r_scale[:, None])
-    oct_ok = (tgt_octave[None, :] >= (c_lvl - 1)[:, None]) & (tgt_octave[None, :] <= c_lvl[:, None])
-    stereo_ok = (tgt_u_right[None, :] <= 0) | (
-        jnp.abs(c_ur[:, None] - tgt_u_right[None, :]) <= r_scale[:, None]
+    # fused masked-Hamming top-2 (Pallas on TPU): the geometric gates, the
+    # [MAX_LOCAL_PTS, N] distance matrix and both reductions never leave
+    # VMEM — see ops/match_pallas.py for the layout discipline
+    BIG = jnp.int32(match_pallas.BIG)
+    best, best_d, second, second_d = match_pallas.masked_top2(
+        c_desc, tgt_desc,
+        c_u, c_v, r_scale, c_ur, r_scale,
+        c_lvl - 1, c_lvl, c_ok,
+        tgt_uv_und[:, 0], tgt_uv_und[:, 1], tgt_u_right, tgt_octave,
+        tgt_valid & ~tgt_blocked,
     )
-    allowed = window & oct_ok & stereo_ok & c_ok[:, None] & tgt_valid[None, :] & ~tgt_blocked[None, :]
-
-    D = hamming.distance_matrix(c_desc, tgt_desc)
-    BIG = jnp.int32(1 << 20)
-    D = jnp.where(allowed, D, BIG)
-
-    best = jnp.argmin(D, axis=1).astype(jnp.int32)
-    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
-    D2 = D.at[jnp.arange(D.shape[0]), best].set(BIG)
-    second = jnp.argmin(D2, axis=1).astype(jnp.int32)
-    second_d = jnp.take_along_axis(D2, second[:, None], axis=1)[:, 0]
     lvl_best = tgt_octave[best]
     lvl_second = tgt_octave[second]
 
