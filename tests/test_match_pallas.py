@@ -68,6 +68,37 @@ class TestMaskedTop2:
         assert np.all(np.asarray(got_d) == (1 << 20))
         assert np.all(np.asarray(got_d2) == (1 << 20))
 
+    @pytest.mark.parametrize("seed", [6, 7])
+    def test_epipolar_mode_matches_xla(self, seed):
+        rng = np.random.default_rng(seed)
+        M = N = 128
+        a = jnp.asarray(rng.integers(0, 2**32, size=(M, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, size=(N, 8), dtype=np.uint32))
+        row_l = jnp.asarray(rng.normal(0, 1, (M, 3)), jnp.float32)
+        row_den = row_l[:, 0] ** 2 + row_l[:, 1] ** 2
+        # small bucket range so buckets collide; ~20% unknown (-1)
+        row_g = jnp.asarray(
+            np.where(rng.random(M) < 0.2, -1, rng.integers(0, 6, M)), jnp.int32
+        )
+        col_g = jnp.asarray(
+            np.where(rng.random(N) < 0.2, -1, rng.integers(0, 6, N)), jnp.int32
+        )
+        args = (
+            a, b, row_l, row_den, row_g,
+            jnp.asarray(rng.random(M) < 0.9),
+            jnp.asarray(rng.random(M) < 0.5),
+            jnp.asarray(rng.uniform(0, 640, N), jnp.float32),
+            jnp.asarray(rng.uniform(0, 480, N), jnp.float32),
+            jnp.asarray(rng.uniform(1, 500, N) ** 2, jnp.float32),
+            col_g,
+            jnp.asarray(rng.random(N) < 0.9),
+            jnp.asarray(rng.random(N) < 0.3),
+        )
+        got = MP.masked_top1_epi_pallas(*args, interpret=True)
+        want = MP.masked_top1_epi_xla(*args)
+        for g, w, name in zip(got, want, ["best_i", "best_d"]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w), err_msg=name)
+
     def test_tie_breaks_to_lowest_index(self):
         # identical descriptors everywhere -> distance 0 ties across all
         # allowed columns; both paths must pick the lowest column index

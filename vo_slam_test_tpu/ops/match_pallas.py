@@ -38,7 +38,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1 << 20  # plain int: jnp constants must not be closure-captured by the kernel
 
@@ -232,3 +231,153 @@ def masked_top2(*args, **kwargs):
     if jax.default_backend() == "tpu" and M % 128 == 0 and N % 128 == 0:
         return masked_top2_pallas(*args, **kwargs)
     return masked_top2_xla(*args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Epipolar-gated top-1 (searchForTriangulation, matcher.cpp:867-1010)
+#
+# The triangulation search gates each (kp1, kp2) pair on the distance of kp2
+# to kp1's epipolar line l = [lx,ly,lz] in image 2 (matcher.cpp:1306-1324):
+#     (lx*u2 + ly*v2 + lz)^2 / (lx^2+ly^2) < 3.84 * sigma2(oct2)
+# which is rank-1 separable in PRODUCT form:
+#     num^2 < den_row * thr_col.
+# (The division form is only defined via a max(den, eps) clamp; the product
+# form treats a degenerate zero line as "no match", identical in practice —
+# both sides use the product form so kernel and oracle agree bit-exactly.)
+# Plus the BoW featVec bucket gate (g1 == g2, unknown words escape) and the
+# mono-pair epipole-proximity rejection (matcher.cpp:924-934).
+# ---------------------------------------------------------------------------
+
+
+def _make_epi_kernel():
+    def kernel(a_ref, bT_ref, rowf_ref, rowi_ref, colf_ref, coli_ref, out_ref):
+        TM = a_ref.shape[0]
+        N = bT_ref.shape[1]
+
+        acc = jnp.zeros((TM, N), jnp.int32)
+        for w in range(8):
+            x = a_ref[:, w : w + 1] ^ bT_ref[w : w + 1, :]
+            acc = acc + _popcount_u32(x)
+
+        r_lx = rowf_ref[:, 0:1]
+        r_ly = rowf_ref[:, 1:2]
+        r_lz = rowf_ref[:, 2:3]
+        r_den = rowf_ref[:, 3:4]
+        r_g = rowi_ref[:, 0:1]
+        r_ok = rowi_ref[:, 1:2] > 0
+        r_mono = rowi_ref[:, 2:3] > 0
+
+        c_u = colf_ref[0:1, :]
+        c_v = colf_ref[1:2, :]
+        c_thr = colf_ref[2:3, :]
+        c_g = coli_ref[0:1, :]
+        c_ok = coli_ref[1:2, :] > 0
+        c_flag = coli_ref[2:3, :] > 0  # mono2 & epipole-close
+
+        num = r_lx * c_u + r_ly * c_v + r_lz
+        allowed = (
+            r_ok & c_ok
+            & (num * num < r_den * c_thr)
+            & ((r_g == c_g) | (r_g < 0) | (c_g < 0))
+            & ~(r_mono & c_flag)
+        )
+        D = jnp.where(allowed, acc, BIG)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TM, N), 1)
+        best_d = jnp.min(D, axis=1, keepdims=True)
+        best_i = jnp.min(jnp.where(D == best_d, iota, N), axis=1, keepdims=True)
+        out_ref[:, 0:1] = best_i
+        out_ref[:, 1:2] = best_d
+        # top-1 kernel: pad the shared [M,4] output layout with duplicates
+        out_ref[:, 2:3] = best_i
+        out_ref[:, 3:4] = best_d
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_top1_epi_pallas(
+    a_desc: jnp.ndarray,   # [M,8] uint32 kp1 descriptors
+    b_desc: jnp.ndarray,   # [N,8] uint32 kp2 descriptors
+    row_l: jnp.ndarray,    # [M,3] epipolar line of kp1 in image 2
+    row_den: jnp.ndarray,  # [M] lx^2 + ly^2
+    row_g: jnp.ndarray,    # [M] i32 featVec bucket (-1 unknown)
+    row_ok: jnp.ndarray,   # [M] bool (unmatched + valid)
+    row_mono: jnp.ndarray,  # [M] bool (uRight < 0)
+    col_u: jnp.ndarray,    # [N] f32
+    col_v: jnp.ndarray,    # [N] f32
+    col_thr: jnp.ndarray,  # [N] f32 3.84 * sigma2(oct2)
+    col_g: jnp.ndarray,    # [N] i32
+    col_ok: jnp.ndarray,   # [N] bool
+    col_flag: jnp.ndarray,  # [N] bool (mono2 & epipole-close)
+    interpret: bool = False,
+):
+    """Returns (best_i, best_d), each [M] i32 (BIG marks no allowed pair)."""
+    M = a_desc.shape[0]
+    N = b_desc.shape[0]
+    TM = 256 if M % 256 == 0 else 128
+    assert M % TM == 0 and N % 128 == 0, (M, N)
+
+    rowf = jnp.concatenate(
+        [row_l.astype(jnp.float32), row_den[:, None].astype(jnp.float32)], axis=1
+    )                                                          # [M,4]
+    rowi = jnp.stack(
+        [row_g.astype(jnp.int32), row_ok.astype(jnp.int32),
+         row_mono.astype(jnp.int32)], axis=1
+    )                                                          # [M,3]
+    colf = jnp.stack([col_u, col_v, col_thr], axis=0).astype(jnp.float32)
+    coli = jnp.stack(
+        [col_g.astype(jnp.int32), col_ok.astype(jnp.int32),
+         col_flag.astype(jnp.int32)], axis=0
+    )
+    bT = b_desc.T
+
+    out = pl.pallas_call(
+        _make_epi_kernel(),
+        out_shape=jax.ShapeDtypeStruct((M, 4), jnp.int32),
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, N), lambda i: (0, 0)),
+            pl.BlockSpec((TM, 4), lambda i: (i, 0)),
+            pl.BlockSpec((TM, 3), lambda i: (i, 0)),
+            pl.BlockSpec((3, N), lambda i: (0, 0)),
+            pl.BlockSpec((3, N), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, 4), lambda i: (i, 0)),
+        interpret=interpret,
+    )(a_desc, bT, rowf, rowi, colf, coli)
+    return out[:, 0], out[:, 1]
+
+
+def masked_top1_epi_xla(
+    a_desc, b_desc, row_l, row_den, row_g, row_ok, row_mono,
+    col_u, col_v, col_thr, col_g, col_ok, col_flag,
+):
+    """Materialized-[M,N] oracle / off-TPU path (same product-form gate)."""
+    from . import hamming
+
+    num = (
+        row_l[:, 0:1] * col_u[None, :]
+        + row_l[:, 1:2] * col_v[None, :]
+        + row_l[:, 2:3]
+    )
+    allowed = (
+        row_ok[:, None] & col_ok[None, :]
+        & (num * num < row_den[:, None] * col_thr[None, :])
+        & ((row_g[:, None] == col_g[None, :])
+           | (row_g < 0)[:, None] | (col_g < 0)[None, :])
+        & ~(row_mono[:, None] & col_flag[None, :])
+    )
+    D = jnp.where(allowed, hamming.distance_matrix(a_desc, b_desc), BIG)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    return best, best_d
+
+
+def masked_top1_epi(*args, **kwargs):
+    """Platform dispatch: Pallas on TPU (128-aligned shapes), XLA elsewhere."""
+    M, N = args[0].shape[0], args[1].shape[0]
+    if jax.default_backend() == "tpu" and M % 128 == 0 and N % 128 == 0:
+        return masked_top1_epi_pallas(*args, **kwargs)
+    return masked_top1_epi_xla(*args, **kwargs)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .. import lie
 from ..camera import Camera
 from ..matching.rotation import rotation_bins, rotation_consistency_mask
-from ..ops import hamming
+from ..ops import match_pallas
 from .map_state import MapCaps, MapState, add_observations, covis_row_for
 from .insert import refresh_points
 
@@ -106,36 +106,30 @@ def create_new_map_points(
         oct2 = m.kf_octave[nbs]
         ur2 = m.kf_u_right[nbs]
 
-        D = hamming.distance_matrix(desc1, m.kf_desc[nbs])  # [N,N]
         # epipole of cam1 in image 2 (matcher.cpp:888-892)
         C2 = lie.transform_point(T2, ow1)
         e_uv = cam.camera2pixel(C2)
         dist_e2 = jnp.sum((uv2 - e_uv[None, :]) ** 2, axis=-1)  # [N2]
-        mono_pair = (ur1[:, None] < 0) & (ur2[None, :] < 0)
-        epi_close = dist_e2[None, :] < 100.0 * scale_factors[oct2][None, :]
-        # epipolar line distance gate (matcher.cpp:1306-1324)
+        # epipolar line of each kp1 in image 2 (matcher.cpp:1306-1324)
         p1h = jnp.concatenate([uv1, jnp.ones((N, 1))], -1)
         l2 = p1h @ F12                                         # [N,3]
-        num = l2[:, 0][:, None] * uv2[None, :, 0] + l2[:, 1][:, None] * uv2[None, :, 1] + l2[:, 2][:, None]
         den = l2[:, 0] ** 2 + l2[:, 1] ** 2
-        d2_line = num**2 / jnp.maximum(den, 1e-12)[:, None]
         sigma2_2 = scale_factors[oct2] ** 2
-        epi_ok = d2_line < 3.84 * sigma2_2[None, :]
 
         # featVec bucket restriction (searchForTriangulation's lockstep
         # node walk); unknown words escape the gate
         g1 = groups_of(m.kf_word[kf_id])
         g2 = groups_of(m.kf_word[nbs])
-        bucket_ok = (
-            (g1[:, None] == g2[None, :]) | (g1 < 0)[:, None] | (g2 < 0)[None, :]
+
+        # fused masked-Hamming top-1 with the epipolar gate in PRODUCT form
+        # num^2 < den*thr (ops/match_pallas.py) — identical to the division
+        # form except on exactly-degenerate zero lines, which it rejects
+        best2, best_d = match_pallas.masked_top1_epi(
+            desc1, m.kf_desc[nbs],
+            l2, den, g1, free1, ur1 < 0,
+            uv2[:, 0], uv2[:, 1], 3.84 * sigma2_2, g2, free2,
+            (ur2 < 0) & (dist_e2 < 100.0 * scale_factors[oct2]),
         )
-        allowed = (
-            free1[:, None] & free2[None, :] & epi_ok & bucket_ok
-            & ~(mono_pair & epi_close)
-        )
-        Dm = jnp.where(allowed, D, 1 << 20)
-        best2 = jnp.argmin(Dm, axis=1).astype(jnp.int32)
-        best_d = jnp.take_along_axis(Dm, best2[:, None], axis=1)[:, 0]
         has = best_d <= TH_LOW
         # rotation consistency (searchForTriangulation checkRot default)
         bins = rotation_bins(ang1, m.kf_angle[nbs][best2])
