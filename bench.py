@@ -80,7 +80,26 @@ def background_device_ms(trace_dir):
 
 
 def main():
+    # watchdog: jax backend init blocks INDEFINITELY when the axon TPU
+    # tunnel is down (observed 2026-08-18: even jax.devices() hangs).
+    # Fail loudly after 15 min instead of hanging the harness; no metric
+    # is emitted — a CPU fallback number would not be comparable.
+    import os as _os
+    import threading as _th
+
+    def _die():
+        print("[bench] FATAL: jax backend init timed out (TPU tunnel down?)",
+              file=sys.stderr, flush=True)
+        _os._exit(17)
+
+    _wd = _th.Timer(900.0, _die)
+    _wd.daemon = True
+    _wd.start()
+
     import jax
+
+    jax.devices()  # force backend init under the watchdog
+    _wd.cancel()
 
     from vo_slam_test_tpu.bow.vocabulary import build_vocabulary
     from vo_slam_test_tpu.camera import Camera
