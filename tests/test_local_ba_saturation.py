@@ -118,9 +118,13 @@ class TestWindowSaturation:
 
 class TestPointCapSaturation:
     def test_point_overflow_drops_cleanly(self, monkeypatch):
-        m, cam = _dense_map(seed=5)
+        # n_feat=1024 here: with the shared CAPS' 256 keypoint slots per KF,
+        # synth_map can bind at most ~800 valid points across 40 KFs (kf_mp
+        # saturates), so the window could never exceed a 1024-point cap
+        caps = MapCaps(max_kf=64, max_pt=4096, max_obs=24, n_feat=1024)
+        m, cam = build(caps, n_kf=40, n_pt=3500, seed=5, span_max=24)
         center = jnp.asarray(20, jnp.int32)
-        full = local_ba.build_problem_ol(m, center, CAPS)
+        full = local_ba.build_problem_ol(m, center, caps)
         n_candidates = int((np.asarray(full.pt_ids) >= 0).sum())
         cap = 1024
         assert n_candidates > cap  # the synthetic window really overflows
@@ -128,7 +132,7 @@ class TestPointCapSaturation:
         # shrink the cap: same code path as a >L_PT fr3-scale map without
         # compiling a 24576-point problem on the CPU test runner
         monkeypatch.setattr(local_ba, "L_PT", cap)
-        prob = local_ba.build_problem_ol(m, center, CAPS)
+        prob = local_ba.build_problem_ol(m, center, caps)
         pids = np.asarray(prob.pt_ids)
         assert pids.shape[0] == cap and (pids >= 0).all()
         pt_valid = np.asarray(m.pt_valid)
