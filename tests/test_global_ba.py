@@ -1,6 +1,7 @@
 """Global BA: matrix-free Schur CG recovers a perturbed full map."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vo_slam_test_tpu.solvers.global_ba import global_bundle_adjust
@@ -43,3 +44,40 @@ class TestGlobalBA:
         est = np.array(m2.kf_pose)[:6]
         terr = np.linalg.norm(est[:, :3, 3] - gt_poses[:, :3, 3], axis=1)
         assert terr.max() < 0.02, terr
+
+
+class TestGlobalBAMesh:
+    """global_bundle_adjust_mesh converges like global_bundle_adjust.
+
+    Exact equality is NOT expected: shard_map compiles the core differently
+    (reassociated f32 reductions), and 24-iteration CG on f32 amplifies
+    ulp-level input differences into different-but-equally-optimal iterate
+    paths — measured: a 1-DEVICE mesh already differs from the unsharded
+    run by ~3e-3 while an 8-device mesh differs by ~1e-3, i.e. the gap is
+    compilation numerics, not sharding logic. So the contract tested is:
+    same optimum (ground-truth recovery + reprojection RMSE within 10% of
+    the single-device run) plus a coarse pose band."""
+
+    @pytest.mark.slow  # compiles the Schur-CG core twice (mesh + single)
+    def test_mesh_matches_single_device(self):
+        from vo_slam_test_tpu.parallel import make_obs_mesh
+        from vo_slam_test_tpu.solvers.global_ba import global_bundle_adjust_mesh
+
+        m, gt_poses, gt_pts, cam = fabricate_map(
+            pose_noise=0.03, pt_noise=0.05, seed=3)
+        fixed = jnp.asarray(0, jnp.int32)
+        m1 = global_bundle_adjust(m, CAPS, cam, fixed)
+        m2 = global_bundle_adjust_mesh(m, CAPS, cam, fixed, make_obs_mesh(8))
+
+        np.testing.assert_allclose(
+            np.asarray(m2.kf_pose), np.asarray(m1.kf_pose), atol=1e-2)
+        # gauge anchor untouched, every pose recovered to ground truth
+        np.testing.assert_allclose(
+            np.asarray(m2.kf_pose)[0], gt_poses[0], atol=1e-6)
+        est = np.asarray(m2.kf_pose)[:6]
+        terr = np.linalg.norm(est[:, :3, 3] - gt_poses[:, :3, 3], axis=1)
+        assert terr.max() < 0.01, terr
+        # same optimum quality as the single-device solve
+        r1 = reproj_rmse(m1, cam, 6, 400)
+        r2 = reproj_rmse(m2, cam, 6, 400)
+        assert r2 < 1.0 and r2 < r1 * 1.1, (r1, r2)
