@@ -120,3 +120,28 @@ class TestMaskedTop2:
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
         assert np.all(np.asarray(got[0]) == 0)
         np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+
+
+class TestProductionShapes:
+    """Parity at the REAL call-site shapes — these exercise the TM=256
+    tile path and the full-width N=1024 lane layout that the smaller cases
+    (M=256, N=128) cannot reach. Interpret mode vectorizes, so even
+    [4096,1024] is seconds on CPU."""
+
+    def test_local_map_shape(self):
+        rng = np.random.default_rng(7)
+        args = _random_instance(rng, M=4096, N=1024)
+        got = MP.masked_top2_pallas(*args, interpret=True)
+        want = MP.masked_top2_xla(*args)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_frame_shape_chi2(self):
+        rng = np.random.default_rng(8)
+        args = _random_instance(rng, M=1024, N=1024)
+        isig2 = jnp.asarray(rng.uniform(0.1, 1.0, 1024), jnp.float32)
+        got = MP.masked_top2_pallas(*args, col_isig2=isig2, chi2_gate=True,
+                                    interpret=True)
+        want = MP.masked_top2_xla(*args, col_isig2=isig2, chi2_gate=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
