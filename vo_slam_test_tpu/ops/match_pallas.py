@@ -89,12 +89,13 @@ def _make_kernel(chi2_gate: bool):
             # right-coordinate error and use the 3-dof bound
             e2 = du * du + dv * dv
             dur = r_ur - c_ur
-            e2s = e2 + dur * dur
-            allowed &= jnp.where(
-                c_ur >= 0.0,
-                e2s * c_isig2 <= 7.815,
-                e2 * c_isig2 <= 5.991,
-            )
+            # Mosaic can't select_n on i1 vectors (trunci i8->i1 unsupported),
+            # so select f32 err/bound and compare once instead of selecting
+            # between two boolean gates.
+            stereo = c_ur >= 0.0
+            err = jnp.where(stereo, e2 + dur * dur, e2)
+            bound = jnp.where(stereo, 7.815, 5.991)
+            allowed &= err * c_isig2 <= bound
         else:
             # virtual-stereo window gate (matcher.cpp:88-95); monocular
             # targets (uRight <= 0) pass unconditionally
