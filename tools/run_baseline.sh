@@ -79,6 +79,30 @@ else
     fail=1
 fi
 
+# fr3 accuracy scenarios (README.md:19-26): accumulated drift, dynamic
+# scene, texture-without-structure. No trigger events to match — these are
+# ATE runs; trajectories land in $OUT for external TUM-tool evaluation
+# (BASELINE.md protocol: 5 runs, drop min/max, mean of 3). A missing
+# sequence directory skips the run with a warning instead of failing —
+# partial datasets still produce a verdict on what is present.
+fr3_seq() { # name config_yaml dataset_subdir
+    local name=$1 cfg=$2 sub=$3
+    if [ ! -e "$TUM_ROOT/$sub/associate.txt" ]; then
+        echo "[$name] $TUM_ROOT/$sub missing — SKIPPED" >&2
+        return 0
+    fi
+    run_seq "${name}_pass1" "$cfg" "$sub" --vocabulary-out "$OUT/$name.voc.npz" \
+        && run_seq "$name" "$cfg" "$sub" --vocabulary "$OUT/$name.voc.npz" \
+        && check "$name" "$REF_DIR/reference_$name.json"
+}
+
+fr3_seq fr3_long_office configs/tum_fr3_long_office.yaml \
+    rgbd_dataset_freiburg3_long_office_household || fail=1
+fr3_seq fr3_sit_halfsph configs/tum_fr3_sit_halfsph.yaml \
+    rgbd_dataset_freiburg3_sitting_halfsphere || fail=1
+fr3_seq fr3_nstr_tex_near configs/tum_fr3_nstr_tex_near.yaml \
+    rgbd_dataset_freiburg3_nostructure_texture_near_withloop || fail=1
+
 if [ "$fail" -eq 0 ]; then
     echo "PARITY OK (artifacts in $OUT)"
 else
