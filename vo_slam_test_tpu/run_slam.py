@@ -211,6 +211,12 @@ def main(argv=None):
             "loop_frames": list(getattr(tracker, "loop_closures", [])),
             "n_keyframes": int(getattr(tracker, "n_keyframes", 0)),
             "ate_rmse_m": None if rmse is None else float(rmse),
+            # per-frame wall incl. first-frame compile — the 5-run protocol
+            # (README.md:16) drops min/max across runs, which absorbs the
+            # one cold-compile run when the compile cache is warm
+            "wall_ms_per_frame": (
+                float(wall / len(seq) * 1000.0) if args.slam else None
+            ),
         }
         with open(args.events_out, "w") as f:
             json.dump(events, f, indent=2)
