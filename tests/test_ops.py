@@ -68,21 +68,24 @@ class TestGaussian:
 class TestPyramid:
     @pytest.mark.slow  # ~28 s: 8-level full-res golden; pyramid is also
     # covered by the extractor end-to-end tests in the fast tier
-    def test_levels_match_cv2_resize_chain(self, test_image):
-        spec = PyramidSpec(640, 480, 8, 1.2)
-        pyr = build_pyramid(jnp.asarray(test_image), spec)
-        inner = np.asarray(interior(pyr.raw, spec))
-        prev = test_image.copy()
-        for lvl in range(1, 8):
-            h, w = spec.sizes[lvl]
-            prev = cv2.resize(prev, (w, h), interpolation=cv2.INTER_LINEAR)
-            ours = inner[lvl, :h, :w]
-            # cv::resize uses 11-bit fixed-point bilinear for u8; our float
-            # bilinear + rint drifts by +-1 gray level on a few % of pixels,
-            # compounding slightly through the chain. Bound the drift.
-            diff = np.abs(ours.astype(np.float32) - prev.astype(np.float32))
-            assert np.mean(diff > 1.0) < 0.12, (lvl, np.mean(diff > 1.0), diff.max())
-            assert diff.max() <= 4.0, (lvl, diff.max())
+    def test_levels_match_cv2_resize_chain_exactly(self, test_image):
+        """BIT-EXACT equality with the chained cv::resize INTER_LINEAR u8
+        pyramid (ORBextractor.cpp:1129-1138): the resize reproduces
+        OpenCV's 11-bit fixed-point taps and specialized u8 vertical cast,
+        so every level must match to the last gray level — on the textured
+        render AND on white noise (the harshest rounding exerciser)."""
+        noise = np.random.default_rng(11).integers(0, 256, (480, 640), np.uint8)
+        for img in (test_image, noise):
+            spec = PyramidSpec(640, 480, 8, 1.2)
+            pyr = build_pyramid(jnp.asarray(img), spec)
+            inner = np.asarray(interior(pyr.raw, spec))
+            prev = img.copy()
+            for lvl in range(1, 8):
+                h, w = spec.sizes[lvl]
+                prev = cv2.resize(prev, (w, h), interpolation=cv2.INTER_LINEAR)
+                ours = inner[lvl, :h, :w].astype(np.int32)
+                diff = np.abs(ours - prev.astype(np.int32))
+                assert diff.max() == 0, (lvl, diff.max(), np.mean(diff > 0))
 
     def test_halo_is_reflect101(self, test_image):
         spec = PyramidSpec(640, 480, 2, 1.2)

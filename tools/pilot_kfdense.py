@@ -1,0 +1,130 @@
+"""Pilot: KF cadence + closure firing of the room-orbit scenario.
+
+Drives SlamSystem over datasets.room_orbit_trajectory in the "room" scene
+and prints keyframe-creation cadence, loop-closure attempts, and the
+steady-state tracking wall time — the tuning loop for the KF-dense
+sustained benchmark (fr1_room duty cycle: ~1 KF per 5-10 frames,
+reference vo_run.cpp:105-137).
+
+Frames are PRE-RENDERED before the timed loop (the host ray-caster costs
+~325 ms/frame on this 1-core box — the analogue of cv::imread, untimed in
+the reference at vo_run.cpp:109-110) and cached on disk keyed by the
+scenario parameters.
+
+Usage: python tools/pilot_kfdense.py [n_frames] [loops] [fps] [drift_at]
+PILOT_TPU=1 runs on the real chip (compile cache works there; CPU compiles
+of slam_step take ~10 min and the cache must stay off, see conftest.py).
+Uses the bench configuration (ORBvoc-scale synth vocabulary, chunk=8) so
+the TPU compile cache is shared with bench.py.
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+if not os.environ.get("PILOT_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_compilation_cache", False)
+
+import jax.numpy as jnp
+import numpy as np
+
+from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+from vo_slam_test_tpu.config import SlamConfig
+from vo_slam_test_tpu.datasets.synthetic import SyntheticRGBD, room_orbit_trajectory
+from vo_slam_test_tpu.pipeline.system import SlamSystem
+from vo_slam_test_tpu.utils.drift import inject_drift
+from vo_slam_test_tpu import lie
+
+
+def render_all(seq, n_frames, tag):
+    """Pre-render (or load the disk cache of) every frame: (gray u8, depth f32)."""
+    path = f"/tmp/pilot_frames_{tag}_{n_frames}.npz"
+    if os.path.exists(path):
+        z = np.load(path)
+        return list(z["gray"]), list(z["depth"]), z["times"].tolist()
+    t0 = time.time()
+    grays, depths, times = [], [], []
+    for i in range(n_frames):
+        g, d, ts = seq[i]
+        grays.append(g)
+        depths.append(d)
+        times.append(ts)
+        if i % 40 == 39:
+            print(f"[pilot] rendered {i+1}/{n_frames} "
+                  f"({(time.time()-t0)/(i+1)*1000:.0f} ms/f)", flush=True)
+    np.savez(path, gray=np.stack(grays), depth=np.stack(depths),
+             times=np.asarray(times))
+    return grays, depths, times
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 240
+    loops = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    fps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    drift_at = int(sys.argv[4]) if len(sys.argv) > 4 else -1
+    chunk = int(os.environ.get("PILOT_CHUNK", "8"))
+
+    traj = room_orbit_trajectory(n_frames, loops=loops)
+    seq = SyntheticRGBD(trajectory=traj, scene="room", seed=7)
+    cfg = SlamConfig(
+        camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
+        camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+        camera_fps=fps,
+    )
+    grays, depths, times = render_all(seq, n_frames, f"orbit{loops}")
+    voc = synth_vocabulary(k=10, levels=6, seed=0)
+    sys_ = SlamSystem(cfg, vocabulary=voc, chunk=chunk)
+
+    D = np.asarray(lie.se3_exp(jnp.asarray(
+        [0.5, 0.2, 0.0, 0.0, -0.08, 0.0], jnp.float32)))
+
+    t0 = time.time()
+    t_half = None
+    for i in range(n_frames):
+        sys_.track(grays[i], depths[i], times[i])
+        if i == n_frames // 2:
+            t_half = time.time()  # steady state: compiles amortized
+        if i == drift_at:
+            sys_._flush()
+            cut = jnp.maximum(sys_.map.n_kf // 2, 1)
+            m2, a2 = inject_drift(sys_.map, sys_.state.assign_real,
+                                  cut, jnp.asarray(D, jnp.float32))
+            sys_.map = m2
+            sys_.state = sys_.state.replace(assign_real=a2)
+            print(f"[pilot] injected drift at f{i}, cut={int(cut)}", flush=True)
+        if i % 40 == 39:
+            print(f"[pilot] f{i+1}  ({(time.time()-t0)/(i+1)*1000:.0f} ms/f)",
+                  flush=True)
+    jax.block_until_ready(sys_.map.kf_pose)
+    wall = time.time() - t0
+    steady = (time.time() - t_half) / (n_frames - n_frames // 2 - 1)
+
+    traj_est, stats, _kf_traj = sys_.results()
+    from vo_slam_test_tpu.datasets.tum import ate_rmse
+
+    gt = np.stack([seq.poses[i] for i in range(n_frames)])
+    ate = ate_rmse(times, gt, times, traj_est)
+    oks = sum(s.ok for s in stats)
+    made = np.concatenate(
+        [np.asarray(o.made_kf).ravel() for o in sys_._outs])[:n_frames]
+    kf_frames = np.nonzero(made)[0]
+    gaps = np.diff(kf_frames)
+    n_kf = int(np.asarray(sys_.map.n_kf))
+    n_valid = int(np.asarray(sys_.map.kf_valid).sum())
+    print(f"wall {wall/n_frames*1000:.1f} ms/f  "
+          f"steady(2nd half) {steady*1000:.1f} ms/f")
+    print(f"tracked {oks}/{n_frames}, KFs created={made.sum()} "
+          f"(live={n_valid}, n_kf={n_kf}), ATE={ate*100:.2f}cm")
+    print(f"KF frames: {kf_frames.tolist()}")
+    if len(gaps):
+        print(f"KF gaps: median {np.median(gaps):.0f} "
+              f"mean {gaps.mean():.1f} max {gaps.max()}")
+    print(f"loop attempts (frame, cand, ok): {sys_.loop_attempts}")
+    print(f"loop closures at frames: {sys_.loop_closures}")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,11 +15,11 @@ from typing import List, Tuple
 import numpy as np
 
 
-def _make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
+def _make_texture(rng: np.random.Generator, size: int = 1024, n_rect: int = 900) -> np.ndarray:
     """High-contrast texture with plenty of FAST corners: random rectangles
     over filtered noise, lightly smoothed."""
     tex = rng.uniform(80, 150, size=(size, size)).astype(np.float32)
-    for _ in range(900):
+    for _ in range(n_rect):
         x, y = rng.integers(0, size - 40, size=2)
         w, h = rng.integers(6, 40, size=2)
         val = rng.uniform(0, 255)
@@ -29,12 +29,63 @@ def _make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
     return np.clip(tex, 0, 255)
 
 
+def room_orbit_trajectory(
+    n_frames: int,
+    radius: float = 1.2,
+    loops: float = 1.0,
+    bob: float = 0.08,
+    wobble: float = 0.15,
+) -> np.ndarray:
+    """Camera orbit inside the "room" scene: position on a circle of the
+    given radius in the x-z plane, looking radially OUTWARD at the walls.
+
+    New wall area enters the frustum every frame (sustained keyframe
+    creation — the fr1_room duty cycle, reference vo_run.cpp:105-137), and
+    after `loops` full turns the camera revisits its exact start view (loop
+    closure opportunity). `bob` adds vertical motion and `wobble` radial
+    motion so triangulation has baseline beyond pure rotation.
+
+    Returns (N,4,4) T_w_c, suitable for SyntheticRGBD(trajectory=...).
+    """
+    ts = np.arange(n_frames, dtype=np.float64) / max(n_frames - 1, 1)
+    poses = np.zeros((n_frames, 4, 4), dtype=np.float32)
+    for i, t in enumerate(ts):
+        th = 2.0 * np.pi * loops * t
+        r = radius + wobble * np.sin(3.1 * th)
+        y = bob * np.sin(2.3 * th)
+        p = np.array([r * np.sin(th), y, r * np.cos(th)])
+        # camera z = outward radial, y = world y (down), x = y cross z
+        zc = np.array([np.sin(th), 0.0, np.cos(th)])
+        yc = np.array([0.0, 1.0, 0.0])
+        xc = np.cross(yc, zc)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = xc, yc, zc, p
+        poses[i] = T
+    return poses
+
+
 @dataclasses.dataclass
 class SyntheticRGBD:
-    """Renders frames along a smooth trajectory inside a textured box corner.
+    """Renders frames along a smooth trajectory inside a textured scene.
 
-    World geometry (meters): back wall z=3.0, floor y=0.8, right wall x=1.5.
-    Camera starts at origin looking down +z.
+    scene="corner" (default): box corner — back wall z=3.0, floor y=0.8,
+    right wall x=1.5. Camera starts at origin looking down +z.
+
+    scene="room": a closed 6-plane room (4 walls + floor + ceiling, each
+    with its own texture) centered on the origin — built for long orbiting
+    trajectories that sustain keyframe creation (new wall area enters the
+    frustum every frame) and revisit the exact start view, the fr1_room
+    duty cycle (SURVEY §6; vo_run.cpp:105-137).
+
+    texture_corners scales the number of high-contrast rectangles per
+    texture: 1.0 is the nominal regime; ~0.03 gives a texture-poor scene
+    (the fr3_nstr_tex_near analogue, README.md:19-26).
+
+    moving_patch, when set, is a (size_m, speed_m_per_frame) tuple: a
+    textured square on the back wall (z = back plane) that slides
+    laterally by speed every frame — an independently moving object whose
+    features violate the static-world model (the fr3_sit_halfsph dynamic-
+    scene analogue); its depth is rendered slightly in front of the wall.
     """
 
     width: int = 640
@@ -47,12 +98,43 @@ class SyntheticRGBD:
     seed: int = 0
     motion_scale: float = 1.0
     trajectory: np.ndarray = None  # optional [N,4,4] T_w_c override
+    scene: str = "corner"
+    texture_corners: float = 1.0
+    moving_patch: Tuple[float, float] = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
-        self.tex_wall = _make_texture(rng)
-        self.tex_floor = _make_texture(rng)
-        self.tex_side = _make_texture(rng)
+        n_rect = max(int(900 * self.texture_corners), 0)
+        if self.scene == "corner":
+            self.tex_wall = _make_texture(rng, n_rect=n_rect)
+            self.tex_floor = _make_texture(rng, n_rect=n_rect)
+            self.tex_side = _make_texture(rng, n_rect=n_rect)
+            # (axis, plane value, texture, texture uv axes)
+            self.planes = [
+                (2, 3.0, self.tex_wall, (0, 1)),   # back wall z = 3
+                (1, 0.8, self.tex_floor, (0, 2)),  # floor y = 0.8
+                (0, 1.5, self.tex_side, (1, 2)),   # right wall x = 1.5
+            ]
+            # walls don't extend infinitely: clip hits to the box corner
+            self.bounds = ((-3.0, 1.5 + 1e-3), (-3.0, 0.8 + 1e-3), (-1.0, 3.0 + 1e-3))
+        elif self.scene == "room":
+            texs = [_make_texture(rng, n_rect=n_rect) for _ in range(6)]
+            hx, hz = 3.0, 3.0          # half extents of the room footprint
+            y_floor, y_ceil = 1.0, -1.5  # camera y axis points down
+            self.planes = [
+                (2, hz, texs[0], (0, 1)),      # far wall
+                (2, -hz, texs[1], (0, 1)),     # near wall
+                (0, hx, texs[2], (1, 2)),      # right wall
+                (0, -hx, texs[3], (1, 2)),     # left wall
+                (1, y_floor, texs[4], (0, 2)),  # floor
+                (1, y_ceil, texs[5], (0, 2)),   # ceiling
+            ]
+            e = 1e-3
+            self.bounds = ((-hx - e, hx + e), (y_ceil - e, y_floor + e), (-hz - e, hz + e))
+        else:
+            raise ValueError(f"unknown scene {self.scene!r}")
+        if self.moving_patch is not None:
+            self.tex_patch = _make_texture(rng, size=256, n_rect=max(n_rect // 8, 40))
         if self.trajectory is not None:
             self.poses = np.asarray(self.trajectory, np.float32)
             self.n_frames = self.poses.shape[0]
@@ -97,24 +179,19 @@ class SyntheticRGBD:
         depth = np.full((H, W), big, dtype=np.float32)
         gray = np.zeros((H, W), dtype=np.float32)
 
-        planes = [
-            # (axis, value, positive side?, texture, uv axes)
-            (2, 3.0, self.tex_wall, (0, 1)),   # back wall z = 3
-            (1, 0.8, self.tex_floor, (0, 2)),  # floor y = 0.8
-            (0, 1.5, self.tex_side, (1, 2)),   # right wall x = 1.5
-        ]
-        for axis, value, tex, uv_axes in planes:
+        (bx0, bx1), (by0, by1), (bz0, bz1) = self.bounds
+        for axis, value, tex, uv_axes in self.planes:
             denom = d_w[..., axis]
             denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
             lam = (value - o_w[axis]) / denom  # ray parameter
             pt = o_w[None, None, :] + lam[..., None] * d_w  # world hit point
             z_cam = lam * d_cam[..., 2]  # camera-frame depth (d_cam z == 1)
             valid = (lam > 0.05) & (z_cam < depth)
-            # inside box bounds (so walls don't extend infinitely)
+            # inside scene bounds (so walls don't extend infinitely)
             in_box = (
-                (pt[..., 0] > -3.0) & (pt[..., 0] < 1.5 + 1e-3)
-                & (pt[..., 1] > -3.0) & (pt[..., 1] < 0.8 + 1e-3)
-                & (pt[..., 2] > -1.0) & (pt[..., 2] < 3.0 + 1e-3)
+                (pt[..., 0] > bx0) & (pt[..., 0] < bx1)
+                & (pt[..., 1] > by0) & (pt[..., 1] < by1)
+                & (pt[..., 2] > bz0) & (pt[..., 2] < bz1)
             )
             valid &= in_box
             a, b = uv_axes
@@ -136,6 +213,46 @@ class SyntheticRGBD:
             )
             gray = np.where(valid, val, gray)
             depth = np.where(valid, z_cam, depth)
+
+        if self.moving_patch is not None:
+            # Independently moving object: a textured square hovering 5 cm in
+            # front of the first plane, sliding along its first uv axis every
+            # frame. Its features are rendered with CONSISTENT depth (the ray
+            # hit), so tracking sees geometrically plausible but world-frame
+            # inconsistent landmarks — the dynamic-scene failure mode
+            # (fr3_sit_halfsph analogue, reference README.md:19-26).
+            size_m, speed = self.moving_patch
+            axis, value, _, (a, b) = self.planes[0]
+            sign = 1.0 if value > 0 else -1.0
+            pv = value - sign * 0.05
+            denom = d_w[..., axis]
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            lam = (pv - o_w[axis]) / denom
+            pt = o_w[None, None, :] + lam[..., None] * d_w
+            z_cam = lam * d_cam[..., 2]
+            ca = -1.0 + speed * i  # patch center slides along uv axis a
+            cb = -0.3
+            half = 0.5 * size_m
+            hit = (
+                (lam > 0.05) & (z_cam < depth)
+                & (np.abs(pt[..., a] - ca) < half) & (np.abs(pt[..., b] - cb) < half)
+            )
+            tex = self.tex_patch
+            ts_ = tex.shape[0]
+            tu = (pt[..., a] - (ca - half)) / size_m * (ts_ - 2)
+            tv = (pt[..., b] - (cb - half)) / size_m * (ts_ - 2)
+            x0 = np.clip(np.floor(tu).astype(np.int64), 0, ts_ - 2)
+            y0 = np.clip(np.floor(tv).astype(np.int64), 0, ts_ - 2)
+            wx = np.clip(tu - x0, 0, 1)
+            wy = np.clip(tv - y0, 0, 1)
+            val = (
+                tex[y0, x0] * (1 - wx) * (1 - wy)
+                + tex[y0, x0 + 1] * wx * (1 - wy)
+                + tex[y0 + 1, x0] * (1 - wx) * wy
+                + tex[y0 + 1, x0 + 1] * wx * wy
+            )
+            gray = np.where(hit, val, gray)
+            depth = np.where(hit, z_cam, depth)
 
         depth = np.where(depth >= big, 0.0, depth)  # 0 = no depth (TUM sentinel)
         return gray.astype(np.uint8), depth, float(i) / 30.0

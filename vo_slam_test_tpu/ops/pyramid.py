@@ -4,9 +4,13 @@ The reference builds an 8-level pyramid by chained cv::resize INTER_LINEAR
 into buffers padded by EDGE_THRESHOLD=19 with BORDER_REFLECT_101
 (reference: ORBextractor.cpp:1115-1142). Two behavioral subtleties are kept:
 
-1. every level is re-quantized to u8 by cv::resize, so we round (we use
-   exact float bilinear + round-to-even; OpenCV's 11-bit fixed-point u8
-   path drifts from this by +-1 gray level on a few % of pixels);
+1. every level reproduces cv::resize's 8-bit INTER_LINEAR output
+   BIT-EXACTLY: 11-bit fixed-point coefficients (cvRound of the float32
+   weights, scale_x = 1/inv_scale_x, fx cast to float32 BEFORE the floor)
+   and OpenCV's specialized u8 vertical cast
+   ((b0*(S0>>4))>>16 + (b1*(S1>>4))>>16 + 2) >> 2 — so FAST responses,
+   quad-tree winners, and descriptors match the reference's per-level
+   pixels exactly (golden-tested to equality in tests/test_pyramid.py);
 2. descriptor sampling may reach ~18 px outside a level for border
    keypoints; those reads land in the *unblurred* reflect halo, because the
    reference's GaussianBlur writes only inside the level view.
@@ -102,7 +106,7 @@ class Pyramid(NamedTuple):
 
 
 def _resize_linear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR)."""
+    """Bilinear resize with half-pixel centers (float; non-parity utility)."""
     h_in, w_in = img.shape
     h_out, w_out = out_hw
     ys = (jnp.arange(h_out, dtype=jnp.float32) + 0.5) * (h_in / h_out) - 0.5
@@ -122,6 +126,54 @@ def _resize_linear(img: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
 
 
+@functools.lru_cache(maxsize=None)
+def _u8_coeffs(n_in: int, n_out: int):
+    """cv::resize 8U INTER_LINEAR fixed-point taps for one axis.
+
+    Reproduces OpenCV's coefficient construction exactly: scale is
+    1/inv_scale (NOT n_in/n_out — last-ulp different), the source
+    coordinate is cast to float32 BEFORE cvFloor, the fractional part is
+    float32 arithmetic, and the 11-bit taps are cvRound (round-half-even)
+    of the float32 products. Returns (src_idx i32[n_out], a0, a1 i32)
+    with src clamped so src+1 is always in range (boundary taps collapse
+    to a0=0/a1=2048 there, OpenCV's xmax handling, same arithmetic)."""
+    scale = 1.0 / (float(n_out) / float(n_in))
+    dx = np.arange(n_out, dtype=np.float64)
+    f32 = ((dx + 0.5) * scale - 0.5).astype(np.float32)
+    sx = np.floor(f32).astype(np.int64)
+    fx = f32 - sx.astype(np.float32)
+    low = sx < 0
+    sx[low] = 0
+    fx[low] = 0.0
+    hi = sx >= n_in - 1
+    sx[hi] = n_in - 2
+    fx[hi] = 1.0
+    a1 = np.rint(fx * np.float32(2048.0)).astype(np.int32)
+    a0 = np.rint((np.float32(1.0) - fx) * np.float32(2048.0)).astype(np.int32)
+    return (jnp.asarray(sx.astype(np.int32)), jnp.asarray(a0), jnp.asarray(a1))
+
+
+def _resize_u8_exact(img_u8_vals: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bit-exact cv::resize INTER_LINEAR for 8-bit images.
+
+    `img_u8_vals` holds integral u8 values in any integer/float dtype;
+    returns f32 with integral u8 values. The vertical stage is OpenCV's
+    specialized u8 cast ((b0*(S0>>4))>>16 + (b1*(S1>>4))>>16 + 2) >> 2
+    (the VResizeLinear<uchar,...> template OpenCV dispatches for 8U); all
+    intermediates fit i32 (255*2048 horizontal, >>4 then *2048 vertical).
+    Reference call site: ORBextractor.cpp:1129-1138 via cv::resize."""
+    h_in, w_in = img_u8_vals.shape
+    h_out, w_out = out_hw
+    sx, ax0, ax1 = _u8_coeffs(w_in, w_out)
+    sy, by0, by1 = _u8_coeffs(h_in, h_out)
+    I = img_u8_vals.astype(jnp.int32)
+    rows = I[:, sx] * ax0[None, :] + I[:, sx + 1] * ax1[None, :]
+    s0 = rows[sy] >> 4
+    s1 = rows[sy + 1] >> 4
+    out = (((by0[:, None] * s0) >> 16) + ((by1[:, None] * s1) >> 16) + 2) >> 2
+    return out.astype(jnp.float32)
+
+
 def _reflect_pad(img: jnp.ndarray, pad: int) -> jnp.ndarray:
     """BORDER_REFLECT_101 (edge pixel not repeated) == np.pad 'reflect'."""
     return jnp.pad(img, pad, mode="reflect")
@@ -134,7 +186,7 @@ def build_pyramid(gray_u8: jnp.ndarray, spec: PyramidSpec) -> Pyramid:
     img = gray_u8.astype(jnp.float32)
     levels: List[jnp.ndarray] = [img]
     for lvl in range(1, spec.n_levels):
-        levels.append(jnp.rint(_resize_linear(levels[-1], spec.sizes[lvl])))
+        levels.append(_resize_u8_exact(levels[-1], spec.sizes[lvl]))
 
     CH, CW = spec.canvas_hw
     raws, blurs = [], []

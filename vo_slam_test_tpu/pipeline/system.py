@@ -858,6 +858,9 @@ class SlamSystem:
         self._frame_desc: List = []     # per-frame (desc, valid) device refs
         self._desc_archive_cap = 4096   # ~32 KB/frame of HBM
         self.loop_closures: List[int] = []
+        # every Sim3-verification attempt: (frame_idx, cand_kf, accepted) —
+        # diagnostics for scenario tuning and closure-rate tests
+        self.loop_attempts: List[Tuple[int, int, bool]] = []
         self._inflight_drain: List = []  # [(frame_ids, device array)] FIFO
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
@@ -1051,7 +1054,9 @@ class SlamSystem:
                     kf_gen_expect=kf_gen,
                     cand_gen_expect=jnp.asarray(gen_i, jnp.int32),
                 )
-                if not bool(np.asarray(accepted)):
+                ok = bool(np.asarray(accepted))
+                self.loop_attempts.append((frame_idx, int(cand_i), ok))
+                if not ok:
                     continue
                 self.loop_closures.append(frame_idx)
                 if self.enable_global_ba:
