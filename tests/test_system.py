@@ -46,3 +46,4 @@ class TestSlamSystem:
         assert len(kf_traj) == sys_.n_keyframes
         ts0, T0 = kf_traj[0]
         assert T0.shape == (4, 4)
+

@@ -118,12 +118,35 @@ def main():
           f"steady(2nd half) {steady*1000:.1f} ms/f")
     print(f"tracked {oks}/{n_frames}, KFs created={made.sum()} "
           f"(live={n_valid}, n_kf={n_kf}), ATE={ate*100:.2f}cm")
+    ok_arr = np.asarray([bool(s.ok) for s in stats])
+    n_match = np.concatenate(
+        [np.asarray(o.n_matches).ravel() for o in sys_._outs])[:n_frames]
+    n_inl = np.concatenate(
+        [np.asarray(o.n_inliers).ravel() for o in sys_._outs])[:n_frames]
+    if not ok_arr.all():
+        bad = np.nonzero(~ok_arr)[0]
+        spans = np.split(bad, np.nonzero(np.diff(bad) > 1)[0] + 1)
+        print(f"LOST spans: {[(int(s[0]), int(s[-1])) for s in spans]}")
+        for s in spans[:4]:
+            f0 = int(s[0])
+            lo = max(f0 - 3, 0)
+            print(f"  around f{f0}: matches {n_match[lo:f0+2].tolist()} "
+                  f"inliers {n_inl[lo:f0+2].tolist()}")
     print(f"KF frames: {kf_frames.tolist()}")
     if len(gaps):
         print(f"KF gaps: median {np.median(gaps):.0f} "
               f"mean {gaps.mean():.1f} max {gaps.max()}")
     print(f"loop attempts (frame, cand, ok): {sys_.loop_attempts}")
     print(f"loop closures at frames: {sys_.loop_closures}")
+    # churn metrics (VERDICT #2): lifetime inserts vs cap, slot recycling
+    kf_gen = np.asarray(sys_.map.kf_gen)
+    pt_gen = np.asarray(sys_.map.pt_gen)
+    ever = int(np.asarray(sys_.map.n_kf_ever))
+    print(f"churn: KF inserts ever={ever} (cap {sys_.caps.max_kf}), "
+          f"culled={ever - n_valid}, recycled slots={(kf_gen > 1).sum()} "
+          f"(max gen {kf_gen.max()}), "
+          f"pt recycled={(pt_gen > 1).sum()} (max gen {pt_gen.max()}), "
+          f"live points={int(np.asarray(sys_.map.pt_valid).sum())}")
 
 
 if __name__ == "__main__":

@@ -844,11 +844,21 @@ class SlamSystem:
         # The reference's LoopClosing thread drains within ~a frame
         # (loopClosing.cpp:17-37); tests that assert closure use 1.
         self._drain_every = max(1, int(drain_chunk))
-        # interruptBA analogue (localMapping.cpp:538-541): raised by a host
-        # scheduler when the background worker is backlogged; each LM pass
-        # then yields after one iteration. Serialized single-chip execution
-        # never backlogs, so it stays False there.
-        self._interrupt_ba = jnp.asarray(False)
+        # interruptBA analogue (localMapping.cpp:538-541): the reference
+        # aborts local BA whenever a new keyframe is queued while BA runs —
+        # freshness beats convergence under load. The chunked-dispatch
+        # analogue: when the host is about to dispatch a background chunk
+        # while TWO or more earlier background programs are still executing
+        # (one in flight is the normal async pipeline depth; two means the
+        # mapping stream is falling behind tracking), the new chunk's BA
+        # runs with the interrupt flag up and yields after one LM iteration
+        # (solvers/local_ba.py `stop`). Both flag values are pre-staged
+        # device scalars (a fresh per-dispatch transfer stalls the tunnel).
+        self._interrupt_false = jnp.asarray(False)
+        self._interrupt_true = jnp.asarray(True)
+        self._force_interrupt_ba = None  # forced value for tests; None = auto
+        self._bg_refs: List = []         # recent background output refs
+        self.n_ba_interrupts = 0         # diagnostics
         # featVec bucket divisor for searchForTriangulation parity
         # (matcher.cpp:903-965): word // k^levels_up at levels_up=3
         self._bow_group_div = jnp.asarray(
@@ -865,6 +875,27 @@ class SlamSystem:
         self._outs: List[SlamOut] = []
         self.timestamps: List[float] = []
         self._frame_id = 0
+
+    def _ba_interrupt(self) -> jnp.ndarray:
+        """interruptBA decision for the NEXT background dispatch
+        (localMapping.cpp:538-541 analogue — see __init__). Counts how many
+        recent background programs haven't finished; >=2 unfinished means
+        the background stream is backlogged beyond normal pipelining."""
+        if self._force_interrupt_ba is not None:
+            return (self._interrupt_true if self._force_interrupt_ba
+                    else self._interrupt_false)
+        self._bg_refs = [r for r in self._bg_refs
+                         if not (hasattr(r, "is_ready") and r.is_ready())]
+        backlog = len(self._bg_refs)
+        if backlog >= 2:
+            self.n_ba_interrupts += 1
+            return self._interrupt_true
+        return self._interrupt_false
+
+    def _note_bg_dispatch(self, ref) -> None:
+        self._bg_refs.append(ref)
+        if len(self._bg_refs) > 8:  # bound the scan; old refs are ready
+            self._bg_refs = self._bg_refs[-8:]
 
     def _empty_state(self) -> SlamTrackState:
         N = self.caps.n_feat
@@ -928,9 +959,10 @@ class SlamSystem:
         )
         self.map, self.loop_state, cand, cand_gen = background_step(
             self.map, self.loop_state, out.made_kf, out.ref_kf,
-            self._interrupt_ba, self._bow_group_div, self.caps, self.camera,
+            self._ba_interrupt(), self._bow_group_div, self.caps, self.camera,
             self.scale_factors, self.enable_loop_closing,
         )
+        self._note_bg_dispatch(cand)
         if self.enable_loop_closing:
             self._queue_loop(
                 [self._frame_id],
@@ -962,9 +994,10 @@ class SlamSystem:
         )
         self.map, self.loop_state, cands, cand_gens = background_chunk(
             self.map, self.loop_state, outs.made_kf, outs.ref_kf,
-            self._interrupt_ba, self._bow_group_div, self.caps, self.camera,
+            self._ba_interrupt(), self._bow_group_div, self.caps, self.camera,
             self.scale_factors, self.enable_loop_closing,
         )
+        self._note_bg_dispatch(cands)
         k = len(buf)
         if self.enable_loop_closing:
             self._queue_loop(
