@@ -204,3 +204,45 @@ class TestCloseStep:
         # stay near truth (their ref KF0 is the fixed vertex)
         pts = np.asarray(m2.pt_pos)[:NP_PTS]
         assert np.linalg.norm(pts - gt_pts, axis=1).max() < 0.05
+
+    @pytest.mark.slow  # compiles the batched close program
+    def test_close_step_multi_first_success(self):
+        """The batched candidate loop (close_step_multi) must skip -1 pads
+        and generation-mismatched candidates, try real candidates in order
+        (the reference's computeSim3 loop, loopClosing.cpp:178-348), accept
+        the genuine loop, and report WHICH candidate verified."""
+        cfg = SlamConfig(
+            camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0
+        )
+        cam = Camera.from_config(cfg)
+        m, gt, stored = build_drifted_loop_map(cam)
+        # close_step_multi derives featVec buckets from kf_word (the
+        # original test passes explicit zero groups); give the loop pair's
+        # keypoints word 0 so all land in one bucket, as before
+        kf_word = np.asarray(m.kf_word).copy()
+        kf_word[0, :NP_PTS] = 0
+        kf_word[9, :NP_PTS] = 0
+        kf_word[4, :NP_PTS] = 0
+        m = m.replace(kf_word=jnp.asarray(kf_word))
+        ls = LC.empty_loop_state(CAPS)
+        scale_factors = jnp.asarray(1.2 ** np.arange(8), jnp.float32)
+
+        # candidate list: pad, a bogus mid-chain KF (no shared points ->
+        # verification fails), a generation-mismatched copy of the true
+        # candidate (must be skipped), then the true candidate
+        cands = jnp.asarray([-1, 4, 0, 0, -1, -1, -1, -1], jnp.int32)
+        gens = jnp.asarray([-1, 0, 99, 0, -1, -1, -1, -1], jnp.int32)
+        m2, ls2, done, which = LC.close_step_multi(
+            m, ls, jnp.asarray(9, jnp.int32), jnp.asarray(0, jnp.int32),
+            cands, gens, jnp.asarray(1000, jnp.int32),
+            CAPS, cam, scale_factors,
+        )
+        assert bool(np.asarray(done))
+        assert int(np.asarray(which)) == 0
+        assert bool(np.asarray(m2.loop_edges)[9, 0])
+        # the correction actually ran: KF9 snapped toward truth
+        poses = np.asarray(m2.kf_pose)
+        err = np.linalg.norm(poses[9][:3, 3] - gt[9][:3, 3])
+        assert err < 0.05, err
+        # last_loop_seq advanced to the accepting keyframe's seq
+        assert int(np.asarray(ls2.last_loop_seq)) == 19

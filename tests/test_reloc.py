@@ -158,6 +158,36 @@ class TestRelocalization:
         # decoy outranks the true keyframe but cannot block it
         assert len(reloc) >= 1 and reloc[0] == 11, reloc
 
+    def test_reloc_parity_mode_same_trigger_frame(self, scene_voc):
+        """A/B: the kidnap scenario relocalizes on the SAME frame under the
+        default mode (best-of-top-3, Horn when depth-rich) and the parity
+        mode (all-candidate first-success with always-EPnP + per-candidate
+        top-ups, visualOdometry.cpp:313-395/:806). The two modes may pick
+        different candidate keyframes; the externally observable quantity —
+        WHICH frame relocalization succeeds on — must agree here."""
+        frames = {}
+        for parity in (False, True):
+            seq = SyntheticRGBD(n_frames=12, seed=31, motion_scale=0.3)
+            cfg = make_cfg(seq)
+            sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=32, max_pt=8192),
+                              vocabulary=scene_voc, reloc_parity=parity)
+            for i in range(8):
+                g, d, ts = seq[i]
+                sys_.track(g, d, ts)
+            black_g = np.zeros((480, 640), np.uint8)
+            black_d = np.zeros((480, 640), np.float32)
+            for j in range(3):
+                sys_.track(black_g, black_d, 8.0 + j)
+            for i in range(2, 6):
+                g, d, ts = seq[i]
+                sys_.track(g, d, 20.0 + i)
+            _, stats, _ = sys_.results()
+            assert any(s.ok for s in stats[11:]), (parity, [s.ok for s in stats])
+            reloc = sys_.reloc_frames
+            assert len(reloc) >= 1, (parity, reloc)
+            frames[parity] = reloc[0]
+        assert frames[False] == frames[True], frames
+
     def test_no_bow_system_never_relocalizes(self):
         seq = SyntheticRGBD(n_frames=4, seed=33, motion_scale=0.3)
         sys_ = SlamSystem(make_cfg(seq), caps=MapCaps(max_kf=16, max_pt=4096))

@@ -31,7 +31,7 @@ if not os.environ.get("PILOT_TPU"):
 import jax.numpy as jnp
 import numpy as np
 
-from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+from vo_slam_test_tpu.bow.vocabulary import Vocabulary, build_vocabulary
 from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.datasets.synthetic import SyntheticRGBD, room_orbit_trajectory
 from vo_slam_test_tpu.pipeline.system import SlamSystem
@@ -60,12 +60,47 @@ def render_all(seq, n_frames, tag):
     return grays, depths, times
 
 
+def scene_vocabulary(cfg, grays, depths, tag, k=10, levels=6, cap=150_000):
+    """ORBvoc-SHAPED (k=10, L=6) vocabulary trained on the scene's own
+    descriptors — the reference's supported workflow (map.cpp:60-99 creates
+    scene vocabularies from tracked descriptors). Same tree shape == same
+    per-frame transform cost (6 gathers + 60 Hammings per feature) and the
+    same 10^6-word scoring arrays as ORBvoc; unlike random centroids it has
+    real place-recognition power, which loop closure needs. Disk-cached."""
+    path = f"/tmp/pilot_voc_{tag}_{k}_{levels}.npz"
+    if os.path.exists(path):
+        return Vocabulary.load(path)
+    from vo_slam_test_tpu.camera import Camera
+    from vo_slam_test_tpu.frontend.extractor import OrbExtractor
+
+    t0 = time.time()
+    ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
+    descs = []
+    for i in range(0, len(grays), 4):
+        f = ext(grays[i], depths[i])
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    D = np.concatenate(descs)
+    if D.shape[0] > cap:
+        sel = np.random.default_rng(0).choice(D.shape[0], cap, replace=False)
+        D = D[sel]
+    print(f"[pilot] training vocab on {D.shape[0]} descriptors "
+          f"(extract {time.time()-t0:.0f}s)...", flush=True)
+    voc = build_vocabulary(D, k=k, levels=levels, iters=6, seed=0)
+    voc.save(path)
+    print(f"[pilot] vocab built in {time.time()-t0:.0f}s", flush=True)
+    return voc
+
+
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 240
     loops = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
     fps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     drift_at = int(sys.argv[4]) if len(sys.argv) > 4 else -1
     chunk = int(os.environ.get("PILOT_CHUNK", "8"))
+    # churn mode (VERDICT r3 #2): a reduced keyframe cap makes lifetime
+    # inserts exceed max_kf within a practical frame budget, driving slot
+    # recycling + covis reparenting + Tcp recovery under sustained load
+    max_kf = int(os.environ.get("PILOT_MAXKF", "256"))
 
     traj = room_orbit_trajectory(n_frames, loops=loops)
     seq = SyntheticRGBD(trajectory=traj, scene="room", seed=7)
@@ -75,11 +110,25 @@ def main():
         camera_fps=fps,
     )
     grays, depths, times = render_all(seq, n_frames, f"orbit{loops}")
-    voc = synth_vocabulary(k=10, levels=6, seed=0)
-    sys_ = SlamSystem(cfg, vocabulary=voc, chunk=chunk)
+    voc = scene_vocabulary(cfg, grays, depths, f"orbit{loops}_{n_frames}")
+    from vo_slam_test_tpu.slam_map.map_state import MapCaps
+
+    sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=max_kf), vocabulary=voc,
+                      chunk=chunk)
 
     D = np.asarray(lie.se3_exp(jnp.asarray(
         [0.5, 0.2, 0.0, 0.0, -0.08, 0.0], jnp.float32)))
+
+    trace_ctx = None
+    if os.environ.get("PILOT_TRACE"):
+        import contextlib
+
+        trace_dir = "/tmp/pilot_trace"
+        import shutil
+
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        trace_ctx = jax.profiler.trace(trace_dir)
+        trace_ctx.__enter__()
 
     t0 = time.time()
     t_half = None
@@ -101,6 +150,15 @@ def main():
     jax.block_until_ready(sys_.map.kf_pose)
     wall = time.time() - t0
     steady = (time.time() - t_half) / (n_frames - n_frames // 2 - 1)
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from bench import background_device_ms
+
+        bg_ms, dev_total = background_device_ms("/tmp/pilot_trace")
+        print(f"[pilot] device total {dev_total:.0f} ms "
+              f"({dev_total/n_frames:.1f}/f), background {bg_ms:.0f} ms "
+              f"({bg_ms/n_frames:.1f}/f)", flush=True)
 
     traj_est, stats, _kf_traj = sys_.results()
     from vo_slam_test_tpu.datasets.tum import ate_rmse

@@ -50,7 +50,9 @@ run_seq() { # name config_yaml dataset_subdir extra_flags...
     # rewrite dataset_dir to the provided root
     sed "s#^dataset_dir:.*#dataset_dir: $ds/#" "$cfg" > "$OUT/$name.yaml"
     echo "[$name] running full pipeline..."
-    python -m vo_slam_test_tpu.run_slam "$OUT/$name.yaml" --slam "$@" \
+    # --reloc-parity: trigger-frame comparisons use the reference's
+    # relocalization semantics (all-candidate first-success, always-EPnP)
+    python -m vo_slam_test_tpu.run_slam "$OUT/$name.yaml" --slam --reloc-parity "$@" \
         --camera-out "$OUT/$name.camera.txt" \
         --keyframe-out "$OUT/$name.keyframes.txt" \
         --metrics-out "$OUT/$name.metrics.csv" \

@@ -150,7 +150,10 @@ def _u8_coeffs(n_in: int, n_out: int):
     fx[hi] = 1.0
     a1 = np.rint(fx * np.float32(2048.0)).astype(np.int32)
     a0 = np.rint((np.float32(1.0) - fx) * np.float32(2048.0)).astype(np.int32)
-    return (jnp.asarray(sx.astype(np.int32)), jnp.asarray(a0), jnp.asarray(a1))
+    # numpy, NOT jnp: a jnp constant created inside one jit trace and
+    # cached would leak that trace's tracer into every later program that
+    # builds a pyramid (measured: OrbExtractor warm-up then track_chunk)
+    return (sx.astype(np.int32), a0, a1)
 
 
 def _resize_u8_exact(img_u8_vals: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -193,40 +193,25 @@ def detect_step(
     return jax.lax.cond(did_kf & (kf_id >= 0), work, noop, (m, ls))
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "diag"), donate_argnums=(0,))
-def close_step(
+def _close_one(
     m: MapState,
     ls: LoopState,
-    kf_id: jnp.ndarray,        # current keyframe
-    cand_kf: jnp.ndarray,      # confirmed loop candidate
+    kf: jnp.ndarray,           # current keyframe (>=0)
+    cd: jnp.ndarray,           # candidate keyframe (>=0)
+    gen_ok: jnp.ndarray,       # validity+generation guard, precomputed
     caps: MapCaps,
     cam: Camera,
     scale_factors: jnp.ndarray,
-    voc_groups_curr: jnp.ndarray,  # [N] level-3 groups of kf_id's words
+    voc_groups_curr: jnp.ndarray,  # [N] level-3 groups of kf's words
     voc_groups_cand: jnp.ndarray,
-    kf_gen_expect: jnp.ndarray = None,   # i32 kf_gen of kf_id at detect time
-    cand_gen_expect: jnp.ndarray = None,  # i32 kf_gen of cand_kf at detect time
-    diag: bool = False,   # static: also return the gate diagnostics
-) -> Tuple[MapState, LoopState, jnp.ndarray]:
-    """Attempt Sim3 verification + loop correction. Returns
-    (map, loop state, success flag) — plus a gate-diagnostics dict
-    (n_bow/n_ransac/n_ref/total vs the 20/20/20/40 gates) when diag=True.
-
-    The generation guards reject a queued candidate whose keyframe slot was
-    culled and recycled between detection and this (drain-batched) call —
-    without them a reused slot could verify a bogus loop against a
-    different keyframe's features."""
+):
+    """One candidate's Sim3 verification + (on accept) loop correction —
+    the body of the reference's computeSim3 iteration (loopClosing.cpp:
+    178-348) plus correctLoop. Returns (m, ls, accept, diag_dict)."""
     K = caps.max_kf
     N = caps.n_feat
     P = caps.max_pt
-
-    kf = jnp.maximum(kf_id, 0)
-    cd = jnp.maximum(cand_kf, 0)
-    gen_ok = m.kf_valid[kf] & m.kf_valid[cd]
-    if kf_gen_expect is not None:
-        gen_ok &= m.kf_gen[kf] == kf_gen_expect
-    if cand_gen_expect is not None:
-        gen_ok &= m.kf_gen[cd] == cand_gen_expect
+    kf_id = kf  # RANSAC seed
 
     # ---- KF<->KF BoW matching (matcher.cpp:561-677, ratio 0.75) ------------
     row1 = m.kf_mp[kf]
@@ -411,12 +396,126 @@ def close_step(
     ls = ls.replace(
         last_loop_seq=jnp.where(accept, m.kf_seq[kf], ls.last_loop_seq)
     )
+    return m, ls, accept, {
+        "gen_ok": gen_ok, "gap_ok": gap_ok, "n_bow": n_bow,
+        "n_ransac": n_ransac, "n_ref": n_ref, "total": total,
+        "live1": jnp.sum(live1.astype(jnp.int32)),
+        "live2": jnp.sum(live2.astype(jnp.int32)),
+        "cand_seq": m.kf_seq[cd], "kf_seq": m.kf_seq[kf],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "diag"), donate_argnums=(0,))
+def close_step(
+    m: MapState,
+    ls: LoopState,
+    kf_id: jnp.ndarray,        # current keyframe
+    cand_kf: jnp.ndarray,      # confirmed loop candidate
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+    voc_groups_curr: jnp.ndarray,  # [N] level-3 groups of kf_id's words
+    voc_groups_cand: jnp.ndarray,
+    kf_gen_expect: jnp.ndarray = None,   # i32 kf_gen of kf_id at detect time
+    cand_gen_expect: jnp.ndarray = None,  # i32 kf_gen of cand_kf at detect time
+    diag: bool = False,   # static: also return the gate diagnostics
+) -> Tuple[MapState, LoopState, jnp.ndarray]:
+    """Attempt Sim3 verification + loop correction for ONE candidate.
+    Returns (map, loop state, success flag) — plus a gate-diagnostics dict
+    (n_bow/n_ransac/n_ref/total vs the 20/20/20/40 gates) when diag=True.
+
+    The generation guards reject a queued candidate whose keyframe slot was
+    culled and recycled between detection and this (drain-batched) call —
+    without them a reused slot could verify a bogus loop against a
+    different keyframe's features."""
+    kf = jnp.maximum(kf_id, 0)
+    cd = jnp.maximum(cand_kf, 0)
+    gen_ok = m.kf_valid[kf] & m.kf_valid[cd]
+    if kf_gen_expect is not None:
+        gen_ok &= m.kf_gen[kf] == kf_gen_expect
+    if cand_gen_expect is not None:
+        gen_ok &= m.kf_gen[cd] == cand_gen_expect
+    m, ls, accept, dg = _close_one(
+        m, ls, kf, cd, gen_ok, caps, cam, scale_factors,
+        voc_groups_curr, voc_groups_cand,
+    )
     if diag:
-        return m, ls, accept, {
-            "gen_ok": gen_ok, "gap_ok": gap_ok, "n_bow": n_bow,
-            "n_ransac": n_ransac, "n_ref": n_ref, "total": total,
-        }
+        return m, ls, accept, dg
     return m, ls, accept
+
+
+def _close_multi(
+    m: MapState,
+    ls: LoopState,
+    kf: jnp.ndarray,           # current keyframe (>=0)
+    kf_ok: jnp.ndarray,        # validity(+generation) guard of kf
+    cand_kfs: jnp.ndarray,     # [C] confirmed candidates, -1 padded
+    cand_gens: jnp.ndarray,    # [C] expected kf_gen per candidate
+    group_div: jnp.ndarray,    # i32 featVec bucket divisor (k^3)
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+) -> Tuple[MapState, LoopState, jnp.ndarray, jnp.ndarray]:
+    """Try every confirmed candidate of ONE keyframe until the first Sim3
+    verification succeeds — the reference's computeSim3 candidate loop
+    (loopClosing.cpp:178-348) as a lax.scan with an early-exit flag.
+    Returns (map, loop state, accepted bool, winning candidate id or -1)."""
+    words_curr = m.kf_word[kf]
+    g_curr = jnp.where(words_curr >= 0, words_curr // group_div, -1)
+
+    def body(carry, xs):
+        m, ls, done, which = carry
+        cand, gen = xs
+        cd = jnp.maximum(cand, 0)
+
+        def attempt(args):
+            m, ls = args
+            gen_ok = kf_ok & m.kf_valid[cd] & (m.kf_gen[cd] == gen)
+            words_cand = m.kf_word[cd]
+            g_cand = jnp.where(words_cand >= 0, words_cand // group_div, -1)
+            m, ls, accept, _ = _close_one(
+                m, ls, kf, cd, gen_ok, caps, cam, scale_factors, g_curr, g_cand
+            )
+            return m, ls, accept
+
+        m, ls, accept = jax.lax.cond(
+            ~done & (cand >= 0),
+            attempt,
+            lambda args: (args[0], args[1], jnp.asarray(False)),
+            (m, ls),
+        )
+        which = jnp.where(accept, cand, which)
+        return (m, ls, done | accept, which), None
+
+    (m, ls, done, which), _ = jax.lax.scan(
+        body,
+        (m, ls, jnp.asarray(False), jnp.asarray(-1, jnp.int32)),
+        (cand_kfs, cand_gens),
+    )
+    return m, ls, done, which
+
+
+@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+def close_step_multi(
+    m: MapState,
+    ls: LoopState,
+    kf_id: jnp.ndarray,        # current keyframe
+    kf_gen_expect: jnp.ndarray,
+    cand_kfs: jnp.ndarray,     # [C] confirmed candidates, -1 padded
+    cand_gens: jnp.ndarray,    # [C] their kf_gen at detect time
+    group_div: jnp.ndarray,    # i32 featVec bucket divisor (k^3)
+    caps: MapCaps,
+    cam: Camera,
+    scale_factors: jnp.ndarray,
+) -> Tuple[MapState, LoopState, jnp.ndarray, jnp.ndarray]:
+    """Host-dispatched variant of _close_multi (diagnostics / tests): one
+    dispatch per keyframe with generation guards for drain-lagged calls."""
+    kf = jnp.maximum(kf_id, 0)
+    kf_ok = m.kf_valid[kf] & (m.kf_gen[kf] == kf_gen_expect)
+    return _close_multi(
+        m, ls, kf, kf_ok, cand_kfs, cand_gens, group_div, caps, cam,
+        scale_factors,
+    )
 
 
 def _search_by_sim3(

@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=1,
                     help="track frames in scanned chunks of this size (one "
                          "device dispatch per chunk; throughput mode)")
+    ap.add_argument("--reloc-parity", action="store_true",
+                    help="reference-semantics relocalization: iterate all BoW "
+                         "candidates first-success with always-EPnP "
+                         "(visualOdometry.cpp:313-395); default mode batches "
+                         "the top 3 and picks the best")
     ap.add_argument("--global-ba", action="store_true",
                     help="run global bundle adjustment after accepted loop closures "
                          "(upstream-ORB-SLAM2 behavior; the reference stops at the essential graph)")
@@ -100,7 +105,7 @@ def main(argv=None):
             else:
                 voc = Vocabulary.load(args.vocabulary)
         tracker = SlamSystem(cfg, vocabulary=voc, enable_global_ba=args.global_ba,
-                             chunk=args.chunk)
+                             chunk=args.chunk, reloc_parity=args.reloc_parity)
         hud_grays = []
         t0 = time.perf_counter()
         for i in range(len(seq)):
