@@ -1,0 +1,80 @@
+"""Wall-time each background-chain component on the TPU at a realistic
+KF-dense map scale (the 240-frame orbit pilot ends at ~43 KFs / ~3.4k
+points). Drives the round-4 under-load optimization (VERDICT #1).
+
+Usage: python - [n_kf] [n_pt] < tools/prof_bg_components.py
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from synth_map import build
+from vo_slam_test_tpu.slam_map import culling, fuse, triangulate
+from vo_slam_test_tpu.slam_map.map_state import MapCaps
+from vo_slam_test_tpu.solvers import local_ba
+from vo_slam_test_tpu.pipeline import loop_closing
+
+n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 43
+n_pt = int(sys.argv[2]) if len(sys.argv) > 2 else 3500
+
+caps = MapCaps()
+m, cam = build(caps, n_kf=n_kf, n_pt=n_pt)
+sf = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+ils2 = 1.0 / (sf * sf)
+kid = jnp.asarray(n_kf - 1, jnp.int32)
+gdiv = jnp.asarray(1000, jnp.int32)
+
+ls = loop_closing.empty_loop_state(caps)
+
+
+def close_multi(mm):
+    cands = jnp.asarray([0, 1, -1, -1, -1, -1, -1, -1], jnp.int32)
+    gens = jnp.zeros((8,), jnp.int32)
+    m2, _, done, which = loop_closing.close_step_multi(
+        mm, ls, kid, mm.kf_gen[kid], cands, gens, gdiv, caps, cam, sf
+    )
+    return m2
+
+
+def detect(mm):
+    ls2, cand, cand_gen = loop_closing.detect_step(
+        mm, ls, jnp.asarray(True), kid, caps
+    )
+    return cand
+
+
+fns = {
+    "cull_mp": jax.jit(lambda mm: culling.cull_map_points(mm, kid, caps)),
+    "triangulate": jax.jit(lambda mm: triangulate.create_new_map_points(
+        mm, kid, caps, cam, sf, bow_group_div=gdiv)),
+    "fuse": jax.jit(lambda mm: fuse.search_in_neighbors(mm, kid, caps, cam, sf)),
+    "local_ba": jax.jit(lambda mm: local_ba.local_bundle_adjust(
+        mm, kid, caps, cam, ils2)),
+    "cull_kf": jax.jit(lambda mm: culling.cull_keyframes(mm, kid, caps, cam)),
+    "detect": jax.jit(detect),
+    "close_2cand": jax.jit(close_multi),
+}
+
+_copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
+for name, fn in fns.items():
+    try:
+        r = fn(_copy(m))
+        jax.block_until_ready(r)
+        ts = []
+        for _ in range(3):
+            mc = _copy(m)
+            jax.block_until_ready(mc)
+            t0 = time.perf_counter()
+            r = fn(mc)
+            jax.block_until_ready(r)
+            ts.append((time.perf_counter() - t0) * 1000)
+        print(f"{name:12s} {min(ts):8.1f} ms  (runs: {[f'{t:.1f}' for t in ts]})",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — report and continue profiling
+        print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
