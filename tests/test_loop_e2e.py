@@ -166,12 +166,16 @@ class TestLoopClosureE2E:
             descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
         voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
 
-        # drain_chunk=1: the reference's LoopClosing thread drains its queue
-        # within ~a frame (loopClosing.cpp:17-37); the throughput-mode
-        # batching would delay close_step past keyframe culling and the
-        # generation guard would (correctly) drop the candidate
+        # THROUGHPUT mode (chunk=4, the bench dispatch shape): loop closing
+        # runs INLINE in the background program (detect -> Sim3 verify ->
+        # correct, serially per keyframe — pipeline/system._background_one),
+        # so chunked dispatch adds zero closure lag; this asserts the
+        # closure lands in the same configuration bench.py measures
+        # (VERDICT r3 #6a). The pre-round-4 host-drained close lagged
+        # 8-16 frames and keyframe culling (correctly) killed the
+        # candidates first.
         sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=64, max_pt=16384),
-                          vocabulary=voc, drain_chunk=1)
+                          vocabulary=voc, chunk=4)
 
         # the drift must exceed every projection search window or tracking
         # silently re-anchors onto the old points and dissolves the island
@@ -185,9 +189,13 @@ class TestLoopClosureE2E:
             g, d, ts = seq[i]
             sys_.track(g, d, ts)
             if i == 20:
-                # mid-pan: the start view is fully out of the frustum
+                # mid-pan: the start view is fully out of the frustum.
+                # chunked mode buffers frames — flush so the map reflects
+                # every frame up to here before reading/injecting
+                sys_._flush()
                 kf_cut = int(np.asarray(sys_.map.n_kf))
             if i == 27 and not cut_done:
+                sys_._flush()
                 pre_poses = np.asarray(sys_.map.kf_pose).copy()
                 pre_valid = np.asarray(sys_.map.kf_valid).copy()
                 nk, npts = drift_island(sys_, max(kf_cut, 1), drift)

@@ -145,3 +145,44 @@ class TestProductionShapes:
         want = MP.masked_top2_xla(*args, col_isig2=isig2, chi2_gate=True)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+class TestNeighborBatched:
+    """masked_top2_nb: B independent searches in one grid — must equal the
+    per-neighbor oracle exactly, including the per-neighbor column gates."""
+
+    @pytest.mark.parametrize("seed,chi2", [(11, False), (12, True)])
+    def test_nb_matches_per_neighbor_oracle(self, seed, chi2):
+        rng = np.random.default_rng(seed)
+        B, M, N = 4, 256, 128
+        per = [_random_instance(rng, M, N) for _ in range(B)]
+        args = [jnp.stack([p[i] for p in per]) for i in range(15)]
+        kw = {}
+        if chi2:
+            kw = {"col_isig2": jnp.asarray(
+                rng.uniform(0.01, 1.0, (B, N)), jnp.float32)}
+        got = MP.masked_top2_nb_pallas(*args, chi2_gate=chi2,
+                                       interpret=True, **kw)
+        for b in range(B):
+            want = MP.masked_top2_xla(
+                *per[b], chi2_gate=chi2,
+                col_isig2=kw["col_isig2"][b] if chi2 else None,
+            )
+            for g, w, name in zip(got, want,
+                                  ["best_i", "best_d", "second_i", "second_d"]):
+                np.testing.assert_array_equal(
+                    np.asarray(g[b]), np.asarray(w), err_msg=f"b={b} {name}")
+
+    def test_nb_production_shape(self):
+        """The fuse call-site shape: B=16 neighbors x [1024,1024]."""
+        rng = np.random.default_rng(13)
+        B, M, N = 16, 1024, 1024
+        per = [_random_instance(rng, M, N) for _ in range(B)]
+        args = [jnp.stack([p[i] for p in per]) for i in range(15)]
+        isig2 = jnp.asarray(rng.uniform(0.1, 1.0, (B, N)), jnp.float32)
+        got = MP.masked_top2_nb_pallas(*args, col_isig2=isig2,
+                                       chi2_gate=True, interpret=True)
+        b = 9  # spot-check one mid-batch neighbor fully
+        want = MP.masked_top2_xla(*per[b], col_isig2=isig2[b], chi2_gate=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g[b]), np.asarray(w))

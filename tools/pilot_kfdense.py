@@ -140,8 +140,11 @@ def main():
 
     t0 = time.time()
     t_half = None
+    per_frame = []
     for i in range(n_frames):
+        tf = time.perf_counter()
         sys_.track(grays[i], depths[i], times[i])
+        per_frame.append(time.perf_counter() - tf)
         if i == n_frames // 2:
             t_half = time.time()  # steady state: compiles amortized
         if i == drift_at:
@@ -182,6 +185,13 @@ def main():
     n_valid = int(np.asarray(sys_.map.kf_valid).sum())
     print(f"wall {wall/n_frames*1000:.1f} ms/f  "
           f"steady(2nd half) {steady*1000:.1f} ms/f")
+    # host-side profile: where does a chunk's wall time go? (track() is
+    # async-dispatch only — a slow phase means the HOST blocked there)
+    pf = np.asarray(per_frame[n_frames // 2:]) * 1000
+    by_phase = [pf[j::chunk].mean() for j in range(chunk)]
+    print(f"host ms by (i mod chunk), steady half: "
+          f"{[f'{b:.1f}' for b in by_phase]}  "
+          f"(dispatch frame = {chunk - 1})")
     print(f"tracked {oks}/{n_frames}, KFs created={made.sum()} "
           f"(live={n_valid}, n_kf={n_kf}), ATE={ate*100:.2f}cm")
     ok_arr = np.asarray([bool(s.ok) for s in stats])

@@ -234,6 +234,99 @@ def masked_top2(*args, **kwargs):
     return masked_top2_xla(*args, **kwargs)
 
 
+@functools.partial(jax.jit, static_argnames=("chi2_gate", "interpret"))
+def masked_top2_nb_pallas(
+    a_desc: jnp.ndarray,   # [B,M,8] uint32 source descriptors per neighbor
+    b_desc: jnp.ndarray,   # [B,N,8] uint32 target descriptors per neighbor
+    row_u, row_v, row_rw, row_ur, row_rur,   # [B,M] f32
+    row_lo, row_hi,                           # [B,M] i32
+    row_ok,                                   # [B,M] bool
+    col_u, col_v, col_ur,                     # [B,N] f32
+    col_oct,                                  # [B,N] i32
+    col_ok,                                   # [B,N] bool
+    col_isig2: jnp.ndarray | None = None,     # [B,N] f32
+    chi2_gate: bool = False,
+    interpret: bool = False,
+):
+    """Neighbor-batched masked_top2: B independent [M,N] searches in ONE
+    kernel dispatch (the two-hop fuse runs 16 of them per keyframe; a
+    lax.fori_loop of per-neighbor calls paid ~20 ms/KF of map-state copies
+    through the loop-carried cond, measured round 4).
+
+    The kernel body is the SAME as masked_top2_pallas — the neighbor axis
+    folds into the grid, and the column-side BlockSpec index maps select
+    each neighbor's column block (i // row_blocks)."""
+    B, M = a_desc.shape[:2]
+    N = b_desc.shape[1]
+    TM = 256 if M % 256 == 0 else 128
+    assert M % TM == 0 and N % 128 == 0, (B, M, N)
+    if col_isig2 is None:
+        col_isig2 = jnp.zeros((B, N), jnp.float32)
+
+    rowf = jnp.stack(
+        [row_u, row_v, row_rw, row_ur, row_rur], axis=2
+    ).astype(jnp.float32).reshape(B * M, 5)
+    rowi = jnp.stack(
+        [row_lo, row_hi, row_ok.astype(jnp.int32)], axis=2
+    ).astype(jnp.int32).reshape(B * M, 3)
+    # column-parameter planes pad to 8 sublanes: a (4,N)/(2,N) block is
+    # only legal when it equals the whole array (single-neighbor call);
+    # per-neighbor blocks must be sublane-divisible for Mosaic
+    zf = jnp.zeros((B, 4, N), jnp.float32)
+    colf = jnp.concatenate(
+        [jnp.stack([col_u, col_v, col_ur, col_isig2], axis=1
+                   ).astype(jnp.float32), zf], axis=1
+    ).reshape(B * 8, N)
+    zi = jnp.zeros((B, 6, N), jnp.int32)
+    coli = jnp.concatenate(
+        [jnp.stack([col_oct.astype(jnp.int32), col_ok.astype(jnp.int32)],
+                   axis=1), zi], axis=1
+    ).reshape(B * 8, N)
+    bT = jnp.swapaxes(b_desc, 1, 2).reshape(B * 8, N)
+    a = a_desc.reshape(B * M, 8)
+
+    RB = M // TM
+    grid = (B * RB,)
+    out = pl.pallas_call(
+        _make_kernel(chi2_gate),
+        out_shape=jax.ShapeDtypeStruct((B * M, 4), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, N), lambda i: (i // RB, 0)),
+            pl.BlockSpec((TM, 5), lambda i: (i, 0)),
+            pl.BlockSpec((TM, 3), lambda i: (i, 0)),
+            pl.BlockSpec((8, N), lambda i: (i // RB, 0)),
+            pl.BlockSpec((8, N), lambda i: (i // RB, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, 4), lambda i: (i, 0)),
+        interpret=interpret,
+    )(a, bT, rowf, rowi, colf, coli)
+    out = out.reshape(B, M, 4)
+    return out[..., 0], out[..., 1], out[..., 2], out[..., 3]
+
+
+def masked_top2_nb(*args, **kwargs):
+    """Platform dispatch for the neighbor-batched search: Pallas on TPU,
+    vmapped XLA oracle elsewhere."""
+    B, M = args[0].shape[:2]
+    N = args[1].shape[1]
+    if jax.default_backend() == "tpu" and M % 128 == 0 and N % 128 == 0:
+        return masked_top2_nb_pallas(*args, **kwargs)
+    chi2_gate = kwargs.pop("chi2_gate", False)
+    kwargs.pop("interpret", None)
+    isig2 = kwargs.pop("col_isig2", None)
+    assert not kwargs, kwargs
+    if isig2 is None:
+        return jax.vmap(
+            lambda *a: masked_top2_xla(*a, chi2_gate=chi2_gate)
+        )(*args)
+    return jax.vmap(
+        lambda *a: masked_top2_xla(
+            *a[:-1], col_isig2=a[-1], chi2_gate=chi2_gate)
+    )(*args, isig2)
+
+
 # ---------------------------------------------------------------------------
 # Epipolar-gated top-1 (searchForTriangulation, matcher.cpp:867-1010)
 #
