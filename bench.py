@@ -4,6 +4,15 @@ Metric: steady-state per-frame TRACKING time of the full SLAM pipeline on a
 synthetic 640x480 RGB-D sequence with the reference's fr1 configuration
 (1000 features, 8 levels, BoW vocabulary loaded, loop detection on).
 
+Default scenario (BENCH_SCENARIO=kfdense): the 240-frame room-orbit
+sequence at the fr1_room DUTY CYCLE — ~1 keyframe per 5-10 frames
+sustained (42 keyframes, median gap 7), point culling/recycling churn
+throughout, and a loop closure firing inside the measured window (~f160,
+the orbit revisit) — the load profile of the reference's headline
+fr1_room run (vo_run.cpp:105-137, README.md:10-29). BENCH_SCENARIO=
+corner40 keeps the previous 40-frame corner scenario (~2 KFs, load-light)
+for cross-round comparability; its numbers live in NOTES.md.
+
 The reference's 70 ms/frame baseline measures the TRACKING THREAD only —
 LocalMapping and LoopClosing run concurrently on other CPU cores
 (vo_run.cpp:72,95; timing at :117-123). The TPU build mirrors that split
@@ -101,32 +110,59 @@ def main():
     jax.devices()  # force backend init under the watchdog
     _wd.cancel()
 
-    from vo_slam_test_tpu.bow.vocabulary import build_vocabulary
-    from vo_slam_test_tpu.camera import Camera
     from vo_slam_test_tpu.config import SlamConfig
     from vo_slam_test_tpu.datasets import SyntheticRGBD
-    from vo_slam_test_tpu.frontend.extractor import OrbExtractor
     from vo_slam_test_tpu.pipeline.system import SlamSystem
 
-    n_frames = 40
-    seq = SyntheticRGBD(n_frames=n_frames, seed=0, motion_scale=0.4)
-    cfg = SlamConfig(
-        camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
-        camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
-    )
-    # u16 raw depth (the TUM on-disk format): scaled to meters on device
-    frames = [
-        (g, (d * cfg.camera_depthScale).astype(np.uint16), t)
-        for g, d, t in (seq[i] for i in range(n_frames))
-    ]
+    scenario = os.environ.get("BENCH_SCENARIO", "kfdense")
+    if scenario == "kfdense":
+        from vo_slam_test_tpu.datasets.staging import render_all, scene_vocabulary
+        from vo_slam_test_tpu.datasets.synthetic import room_orbit_trajectory
 
-    # ORBvoc-scale vocabulary (k=10, L=6, 10^6 words) so the benchmark pays
-    # the full BASELINE BoW workload: the real 6-level per-frame transform,
-    # BoW bookkeeping at keyframe insertion at real word sparsity, and loop
-    # detection (the reference runs with ORBvoc loaded, vo_run.cpp:86-90)
-    from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+        n_frames, loops = 240, 1.5
+        traj = room_orbit_trajectory(n_frames, loops=loops)
+        seq = SyntheticRGBD(trajectory=traj, scene="room", seed=7)
+        cfg = SlamConfig(
+            camera_fx=seq.fx, camera_fy=seq.fy,
+            camera_cx=seq.cx, camera_cy=seq.cy,
+            camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+            camera_fps=30,
+        )
+        grays, depths, times = render_all(seq, n_frames, f"orbit{loops}")
+        # scene-trained ORBvoc-shape vocabulary (k=10, L=6): real place-
+        # recognition power — the loop actually closes inside the window.
+        # The checked-in fallback keeps the end-of-round bench from paying
+        # vocabulary training
+        voc = scene_vocabulary(
+            cfg, grays, depths, f"orbit{loops}_{n_frames}",
+            repo_fallback=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools", "data", "bench_voc.npz"),
+        )
+        frames = [
+            (g, (d * cfg.camera_depthScale).astype(np.uint16), t)
+            for g, d, t in zip(grays, depths, times)
+        ]
+    else:  # corner40: the load-light cross-round comparability row
+        n_frames = 40
+        seq = SyntheticRGBD(n_frames=n_frames, seed=0, motion_scale=0.4)
+        cfg = SlamConfig(
+            camera_fx=seq.fx, camera_fy=seq.fy,
+            camera_cx=seq.cx, camera_cy=seq.cy,
+            camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
+        )
+        # u16 raw depth (the TUM on-disk format): scaled to meters on device
+        frames = [
+            (g, (d * cfg.camera_depthScale).astype(np.uint16), t)
+            for g, d, t in (seq[i] for i in range(n_frames))
+        ]
 
-    voc = synth_vocabulary(k=10, levels=6, seed=0)
+        # ORBvoc-scale vocabulary (k=10, L=6, 10^6 words) so the benchmark
+        # pays the full BASELINE BoW workload (the reference runs with
+        # ORBvoc loaded, vo_run.cpp:86-90)
+        from vo_slam_test_tpu.bow.vocabulary import synth_vocabulary
+
+        voc = synth_vocabulary(k=10, levels=6, seed=0)
 
     def make():
         return SlamSystem(cfg, vocabulary=voc, chunk=CHUNK)
@@ -156,13 +192,33 @@ def main():
         traj, stats, _ = tracker.results()
         n_ok = sum(s.ok for s in stats)
         assert n_ok == n_frames, f"tracking failed on {n_frames - n_ok} frames"
+        if scenario == "kfdense":
+            # the metric is only meaningful if the run carried the full
+            # duty cycle and stayed correct: sustained KF creation, the
+            # loop closure fired, and the trajectory is sound
+            from vo_slam_test_tpu.datasets.tum import ate_rmse
+
+            gt = np.stack([seq.poses[i] for i in range(n_frames)])
+            ate = ate_rmse(tracker.timestamps, gt, tracker.timestamps, traj)
+            n_kf_ever = int(np.asarray(tracker.map.n_kf_ever))
+            print(f"[bench] kfdense: KFs ever {n_kf_ever}, closures "
+                  f"{tracker.loop_closures}, ATE {ate*100:.2f} cm",
+                  file=sys.stderr)
+            assert n_kf_ever >= 25, n_kf_ever
+            assert len(tracker.loop_closures) >= 1, tracker.loop_attempts
+            assert ate < 0.05, ate
         return wall
 
-    # warmup / compile (full SLAM: tracking + mapping + BoW + loop detect)
-    warm = make()
-    for f in frames[:3]:
-        warm.track(*f)
-    warm.results()
+    # warmup / compile (full SLAM: tracking + mapping + BoW + loop detect
+    # + inline close — a FULL pass, so every program is compiled and the
+    # measured runs are steady-state end to end)
+    if scenario == "kfdense":
+        run(make())
+    else:
+        warm = make()
+        for f in frames[:3]:
+            warm.track(*f)
+        warm.results()
 
     # best of 3: the tunneled device runtime has +-15 ms/frame run-to-run
     # variance from external interference; the minimum estimates true cost

@@ -31,7 +31,6 @@ if not os.environ.get("PILOT_TPU"):
 import jax.numpy as jnp
 import numpy as np
 
-from vo_slam_test_tpu.bow.vocabulary import Vocabulary, build_vocabulary
 from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.datasets.synthetic import SyntheticRGBD, room_orbit_trajectory
 from vo_slam_test_tpu.pipeline.system import SlamSystem
@@ -39,56 +38,7 @@ from vo_slam_test_tpu.utils.drift import inject_drift
 from vo_slam_test_tpu import lie
 
 
-def render_all(seq, n_frames, tag):
-    """Pre-render (or load the disk cache of) every frame: (gray u8, depth f32)."""
-    path = f"/tmp/pilot_frames_{tag}_{n_frames}.npz"
-    if os.path.exists(path):
-        z = np.load(path)
-        return list(z["gray"]), list(z["depth"]), z["times"].tolist()
-    t0 = time.time()
-    grays, depths, times = [], [], []
-    for i in range(n_frames):
-        g, d, ts = seq[i]
-        grays.append(g)
-        depths.append(d)
-        times.append(ts)
-        if i % 40 == 39:
-            print(f"[pilot] rendered {i+1}/{n_frames} "
-                  f"({(time.time()-t0)/(i+1)*1000:.0f} ms/f)", flush=True)
-    np.savez(path, gray=np.stack(grays), depth=np.stack(depths),
-             times=np.asarray(times))
-    return grays, depths, times
-
-
-def scene_vocabulary(cfg, grays, depths, tag, k=10, levels=6, cap=150_000):
-    """ORBvoc-SHAPED (k=10, L=6) vocabulary trained on the scene's own
-    descriptors — the reference's supported workflow (map.cpp:60-99 creates
-    scene vocabularies from tracked descriptors). Same tree shape == same
-    per-frame transform cost (6 gathers + 60 Hammings per feature) and the
-    same 10^6-word scoring arrays as ORBvoc; unlike random centroids it has
-    real place-recognition power, which loop closure needs. Disk-cached."""
-    path = f"/tmp/pilot_voc_{tag}_{k}_{levels}.npz"
-    if os.path.exists(path):
-        return Vocabulary.load(path)
-    from vo_slam_test_tpu.camera import Camera
-    from vo_slam_test_tpu.frontend.extractor import OrbExtractor
-
-    t0 = time.time()
-    ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
-    descs = []
-    for i in range(0, len(grays), 4):
-        f = ext(grays[i], depths[i])
-        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    D = np.concatenate(descs)
-    if D.shape[0] > cap:
-        sel = np.random.default_rng(0).choice(D.shape[0], cap, replace=False)
-        D = D[sel]
-    print(f"[pilot] training vocab on {D.shape[0]} descriptors "
-          f"(extract {time.time()-t0:.0f}s)...", flush=True)
-    voc = build_vocabulary(D, k=k, levels=levels, iters=6, seed=0)
-    voc.save(path)
-    print(f"[pilot] vocab built in {time.time()-t0:.0f}s", flush=True)
-    return voc
+from vo_slam_test_tpu.datasets.staging import render_all, scene_vocabulary
 
 
 def main():
@@ -110,7 +60,8 @@ def main():
         camera_fps=fps,
     )
     grays, depths, times = render_all(seq, n_frames, f"orbit{loops}")
-    voc = scene_vocabulary(cfg, grays, depths, f"orbit{loops}_{n_frames}")
+    voc = scene_vocabulary(cfg, grays, depths, f"orbit{loops}_{n_frames}",
+                           repo_fallback="tools/data/bench_voc.npz")
     from vo_slam_test_tpu.slam_map.map_state import MapCaps
 
     sys_ = SlamSystem(cfg, caps=MapCaps(max_kf=max_kf), vocabulary=voc,

@@ -755,7 +755,10 @@ def background_step(
         m, loop_state, did_kf, kf_id, interrupt_ba, bow_group_div, caps,
         cam, scale_factors, with_loop, inline_close,
     )
-    return m, loop_state, cand, cand_gen, closed, which
+    packed = jnp.stack(
+        [closed.astype(jnp.int32), which, (cand[0] >= 0).astype(jnp.int32)]
+    )  # [3]
+    return m, loop_state, cand, cand_gen, closed, which, packed
 
 
 @functools.partial(
@@ -799,6 +802,13 @@ def track_chunk(
     and mapping results reach tracking with up to K frames of lag — the
     same staleness the reference's queue-fed LocalMapping thread exhibits
     (localMapping.cpp:16-66 drains a queue the tracker never waits on)."""
+    # frames may arrive as a tuple of per-frame device arrays: the stack
+    # then happens INSIDE this program — two fewer device dispatches per
+    # chunk on the tunneled runtime, where every program launch pays RTT
+    if isinstance(grays, (tuple, list)):
+        grays = jnp.stack(grays)
+    if isinstance(depths, (tuple, list)):
+        depths = jnp.stack(depths)
 
     def body(carry, xs):
         st, mm = carry
@@ -851,7 +861,13 @@ def background_chunk(
     (m, loop_state), (cands, cand_gens, closeds, whichs) = jax.lax.scan(
         body, (m, loop_state), (did_kf, kf_id)
     )
-    return m, loop_state, cands, cand_gens, closeds, whichs
+    # inline-close outcome rows, packed HERE so the host can queue the
+    # async readback without dispatching a separate packing program
+    packed = jnp.stack(
+        [closeds.astype(jnp.int32), whichs, (cands[:, 0] >= 0).astype(jnp.int32)],
+        axis=1,
+    )  # [K,3]
+    return m, loop_state, cands, cand_gens, closeds, whichs, packed
 
 
 def recover_frame_pose(
@@ -1057,7 +1073,7 @@ class SlamSystem:
             self.fast_hi, self.fast_lo, self.max_frame_gap,
             self.voc, self.use_bow, self.reloc_parity,
         )
-        self.map, self.loop_state, cand, cand_gen, closed, which = background_step(
+        self.map, self.loop_state, cand, cand_gen, closed, which, packed = background_step(
             self.map, self.loop_state, out.made_kf, out.ref_kf,
             self._ba_interrupt(), self._bow_group_div, self.caps, self.camera,
             self.scale_factors, self.enable_loop_closing,
@@ -1066,9 +1082,7 @@ class SlamSystem:
         self._note_bg_dispatch(cand)
         if self.enable_loop_closing:
             if self._inline_close:
-                self._queue_close_results(
-                    [self._frame_id], cand[None, :, 0], closed[None], which[None]
-                )
+                self._queue_close_results([self._frame_id], packed[None])
             else:
                 self._queue_loop(
                     [self._frame_id],
@@ -1088,8 +1102,10 @@ class SlamSystem:
     def _dispatch_chunk(self) -> None:
         """Track + background the buffered frames as two scanned dispatches."""
         buf, self._chunk_buf = self._chunk_buf, []
-        grays = jnp.stack([g for g, _, _ in buf])   # device-resident stack
-        depths = jnp.stack([d for _, d, _ in buf])
+        # per-frame device arrays pass through as a tuple; track_chunk
+        # stacks them INSIDE its program (no separate stack dispatches)
+        grays = tuple(g for g, _, _ in buf)
+        depths = tuple(d for _, d, _ in buf)
         ts = np.asarray([t for _, _, t in buf], np.float32)
         self.state, self.map, outs, descs, desc_valids = track_chunk(
             self.state, self.map, grays, depths, jnp.asarray(ts),
@@ -1098,7 +1114,7 @@ class SlamSystem:
             self.fast_hi, self.fast_lo, self.max_frame_gap,
             self.voc, self.use_bow, self.reloc_parity,
         )
-        self.map, self.loop_state, cands, cand_gens, closeds, whichs = background_chunk(
+        self.map, self.loop_state, cands, cand_gens, closeds, whichs, packed = background_chunk(
             self.map, self.loop_state, outs.made_kf, outs.ref_kf,
             self._ba_interrupt(), self._bow_group_div, self.caps, self.camera,
             self.scale_factors, self.enable_loop_closing,
@@ -1109,9 +1125,7 @@ class SlamSystem:
         if self.enable_loop_closing:
             frame_ids = list(range(self._frame_id, self._frame_id + k))
             if self._inline_close:
-                self._queue_close_results(
-                    frame_ids, cands[:, 0], closeds, whichs
-                )
+                self._queue_close_results(frame_ids, packed)
             else:
                 self._queue_loop(
                     frame_ids, cands, cand_gens, outs.ref_kf, outs.ref_gen,
@@ -1187,16 +1201,13 @@ class SlamSystem:
         ):
             self._process_one_diag(frame_idx, crow, grow, kf_id, kf_gen)
 
-    def _queue_close_results(self, frame_ids, first_cands, closeds, whichs):
-        """Stash per-frame inline-close outcomes ([B] arrays) for a LAZY
-        asynchronous readback — loop_closures/loop_attempts are diagnostics;
-        the device state is already corrected. Nothing here blocks. When
-        global BA is enabled the readback is synchronous (the upstream
-        behavior runs a global BA right after an accepted closure)."""
-        packed = jnp.stack(
-            [closeds.astype(jnp.int32), whichs, (first_cands >= 0).astype(jnp.int32)],
-            axis=1,
-        )  # [B, 3]
+    def _queue_close_results(self, frame_ids, packed):
+        """Stash per-frame inline-close outcome rows (packed [B,3] i32,
+        built inside the background program) for a LAZY asynchronous
+        readback — loop_closures/loop_attempts are diagnostics; the device
+        state is already corrected. Nothing here blocks. When global BA is
+        enabled the readback is synchronous (the upstream behavior runs a
+        global BA right after an accepted closure)."""
         try:
             packed.copy_to_host_async()
         except AttributeError:
