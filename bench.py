@@ -60,9 +60,11 @@ def background_device_ms(trace_dir):
     """Sum device-time (ms) of background executables from an xplane trace."""
     import collections
     import glob
-    import os
 
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    # the default (upb) protobuf parses the 240-frame trace in ~1 min; the
+    # python fallback took 15+ min (it was only ever needed for the broken
+    # tensorboard CONVERTER, not for raw xplane parsing — tools/prof_gaps.py
+    # validated upb on this image)
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)

@@ -112,6 +112,26 @@ def main():
     jax.block_until_ready(sys_.map.kf_pose)
     wall = time.time() - t0
     steady = (time.time() - t_half) / (n_frames - n_frames // 2 - 1)
+    # NOTE: 'steady' is DISTORTED by host run-ahead (the host finishes
+    # dispatching long before the device drains the backlog, so t_half is
+    # early and the window carries most of the run's device work); the
+    # authoritative throughput number is the warm pass below — a fresh
+    # tracker over the same staged frames with every compile cached,
+    # exactly bench.py's measured run
+    warm_wall = None
+    if not os.environ.get("PILOT_NO_WARM"):
+        sys2 = SlamSystem(cfg, caps=MapCaps(max_kf=max_kf), vocabulary=voc,
+                          chunk=chunk)
+        tw = time.time()
+        for i in range(n_frames):
+            sys2.track(grays[i], depths[i], times[i])
+        sys2._flush()
+        jax.block_until_ready(sys2._outs[-1].T_c_w)
+        jax.block_until_ready(sys2.map.kf_pose)
+        warm_wall = time.time() - tw
+        sys2.results()  # fold close outcomes for the closure check
+        print(f"WARM full pass: {warm_wall/n_frames*1000:.2f} ms/f "
+              f"(closures {sys2.loop_closures})", flush=True)
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -809,6 +809,8 @@ def track_chunk(
         grays = jnp.stack(grays)
     if isinstance(depths, (tuple, list)):
         depths = jnp.stack(depths)
+    if isinstance(timestamps, (tuple, list)):
+        timestamps = jnp.stack(timestamps)
 
     def body(carry, xs):
         st, mm = carry
@@ -1060,13 +1062,20 @@ class SlamSystem:
             g = gray if isinstance(gray, jax.Array) else jax.device_put(
                 np.ascontiguousarray(gray))
             d = depth if isinstance(depth, jax.Array) else jax.device_put(depth)
-            self._chunk_buf.append((g, d, timestamp))
+            # the timestamp rides up asynchronously too: uploading it at
+            # dispatch time was one more serialized tunnel op per chunk
+            t = (timestamp if isinstance(timestamp, jax.Array)
+                 else jax.device_put(np.float32(timestamp)))
+            self._chunk_buf.append((g, d, timestamp, t))
             if len(self._chunk_buf) >= self.chunk:
                 self._dispatch_chunk()
             return
         self.state, self.map, out = slam_step(
             self.state, self.map,
-            np.ascontiguousarray(gray), depth,
+            # pre-staged device arrays pass through (ascontiguousarray on
+            # a device array is a blocking D2H round trip)
+            gray if isinstance(gray, jax.Array) else np.ascontiguousarray(gray),
+            depth,
             jnp.asarray(timestamp, jnp.float32), self._depth_scale,
             self.camera, self.caps, self.spec, self.budgets,
             self.scale_factors, self.inv_level_sigma2,
@@ -1102,13 +1111,15 @@ class SlamSystem:
     def _dispatch_chunk(self) -> None:
         """Track + background the buffered frames as two scanned dispatches."""
         buf, self._chunk_buf = self._chunk_buf, []
-        # per-frame device arrays pass through as a tuple; track_chunk
-        # stacks them INSIDE its program (no separate stack dispatches)
-        grays = tuple(g for g, _, _ in buf)
-        depths = tuple(d for _, d, _ in buf)
-        ts = np.asarray([t for _, _, t in buf], np.float32)
+        # per-frame device arrays pass through as tuples; track_chunk
+        # stacks them INSIDE its program (no separate stack/upload
+        # dispatches — every eager op here is a serialized tunnel round
+        # trip of device idle, ~20-30 ms each, measured round 4)
+        grays = tuple(g for g, _, _, _ in buf)
+        depths = tuple(d for _, d, _, _ in buf)
+        ts_dev = tuple(t for _, _, _, t in buf)
         self.state, self.map, outs, descs, desc_valids = track_chunk(
-            self.state, self.map, grays, depths, jnp.asarray(ts),
+            self.state, self.map, grays, depths, ts_dev,
             self._depth_scale, self.camera, self.caps, self.spec,
             self.budgets, self.scale_factors, self.inv_level_sigma2,
             self.fast_hi, self.fast_lo, self.max_frame_gap,
@@ -1133,7 +1144,7 @@ class SlamSystem:
         if len(self._frame_desc) < self._desc_archive_cap:
             self._frame_desc.append((descs, desc_valids))
         self._outs.append(outs)  # stacked: leaves have leading dim k
-        self.timestamps.extend(t for _, _, t in buf)
+        self.timestamps.extend(t for _, _, t, _ in buf)
         self._frame_id += k
 
     def _queue_loop(self, frame_ids, cands, cand_gens, ref_kfs, ref_gens):
@@ -1205,13 +1216,12 @@ class SlamSystem:
         """Stash per-frame inline-close outcome rows (packed [B,3] i32,
         built inside the background program) for a LAZY asynchronous
         readback — loop_closures/loop_attempts are diagnostics; the device
-        state is already corrected. Nothing here blocks. When global BA is
-        enabled the readback is synchronous (the upstream behavior runs a
-        global BA right after an accepted closure)."""
-        try:
-            packed.copy_to_host_async()
-        except AttributeError:
-            pass
+        state is already corrected, so the rows are only read at results()/
+        vocabulary time — no per-chunk D2H is even STARTED (on the tunneled
+        runtime every transfer is a serialized round trip of device idle).
+        When global BA is enabled the readback is synchronous instead (the
+        upstream behavior runs a global BA right after an accepted
+        closure)."""
         self._close_results.append((frame_ids, packed))
         if self.enable_global_ba:
             self._collect_close_results()
@@ -1289,7 +1299,7 @@ class SlamSystem:
             buf, self._chunk_buf = self._chunk_buf, []
             chunk, self.chunk = self.chunk, 1
             try:
-                for g, d, t in buf:
+                for g, d, t, _ in buf:
                     self.track(g, d, t)
             finally:
                 self.chunk = chunk
