@@ -62,19 +62,29 @@ fns = {
 }
 
 _copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
+
+# amortized device time: queue N independent (copy -> fn) executions and
+# block ONCE — per-call tunnel RTT (~15-30 ms, which dominated the old
+# per-call blocking numbers) spreads over N; copy cost is measured
+# separately and subtracted
+N = 8
+jax.block_until_ready(_copy(m))
+t0 = time.perf_counter()
+cs = [_copy(m) for _ in range(N)]
+jax.block_until_ready(cs)
+copy_ms = (time.perf_counter() - t0) / N * 1000
+del cs
+print(f"{'(map copy)':12s} {copy_ms:8.1f} ms", flush=True)
+
 for name, fn in fns.items():
     try:
-        r = fn(_copy(m))
-        jax.block_until_ready(r)
-        ts = []
-        for _ in range(3):
-            mc = _copy(m)
-            jax.block_until_ready(mc)
-            t0 = time.perf_counter()
-            r = fn(mc)
-            jax.block_until_ready(r)
-            ts.append((time.perf_counter() - t0) * 1000)
-        print(f"{name:12s} {min(ts):8.1f} ms  (runs: {[f'{t:.1f}' for t in ts]})",
-              flush=True)
+        jax.block_until_ready(fn(_copy(m)))  # warm/compile
+        t0 = time.perf_counter()
+        rs = [fn(_copy(m)) for _ in range(N)]
+        jax.block_until_ready(rs)
+        span = (time.perf_counter() - t0) / N * 1000
+        del rs
+        print(f"{name:12s} {span - copy_ms:8.1f} ms  "
+              f"(span {span:.1f} incl. copy {copy_ms:.1f})", flush=True)
     except Exception as e:  # noqa: BLE001 — report and continue profiling
         print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
