@@ -56,6 +56,10 @@ fns = {
     "fuse": jax.jit(lambda mm: fuse.search_in_neighbors(mm, kid, caps, cam, sf)),
     "local_ba": jax.jit(lambda mm: local_ba.local_bundle_adjust(
         mm, kid, caps, cam, ils2)),
+    # construction-only slice of local_ba (the LM loop is Pallas-bound;
+    # if this dominates, the gathers in build_problem_ol are the target)
+    "ba_build": jax.jit(lambda mm: local_ba.build_problem_ol(
+        mm, kid, caps, ils2)),
     "cull_kf": jax.jit(lambda mm: culling.cull_keyframes(mm, kid, caps, cam)),
     "detect": jax.jit(detect),
     "close_2cand": jax.jit(close_multi),
