@@ -65,6 +65,29 @@ fns = {
     "close_2cand": jax.jit(close_multi),
 }
 
+# whole background_chunk programs: the fixed per-chunk cost (scan + cond
+# glue + detect gating for 8 frames) vs one realistic KF event — the gap
+# between the component sum and the real run's background total
+from vo_slam_test_tpu.pipeline.system import background_chunk  # noqa: E402
+
+_did0 = jnp.zeros((8,), bool)
+_did1 = _did0.at[3].set(True)
+_kid8 = jnp.full((8,), int(kid), jnp.int32)
+_false = jnp.asarray(False)
+
+
+def _bg(did):
+    def f(mm):
+        return background_chunk(
+            mm, loop_closing.empty_loop_state(caps), did, _kid8, _false,
+            gdiv, caps, cam, sf, True, inline_close=True,
+        )[0]
+    return f
+
+
+fns["bg_chunk_noop"] = _bg(_did0)
+fns["bg_chunk_1kf"] = _bg(_did1)
+
 _copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
 
 # amortized device time: queue N independent (copy -> fn) executions and
