@@ -56,6 +56,10 @@ def main(argv=None):
                     help="save the keyframe trajectory (TUM format) here (implies --slam)")
     ap.add_argument("--map-out", default=None,
                     help="render the final map (points + keyframes + graph edges) to this PNG (implies --slam)")
+    ap.add_argument("--viewer-live", type=int, default=0, metavar="N",
+                    help="with --viewer-out: re-export the viewer every N "
+                         "frames DURING the run (auto-reloading page) — the "
+                         "reference Drawer thread's live rendering")
     ap.add_argument("--viewer-out", default=None,
                     help="export an interactive 3D map viewer (single "
                          "self-contained HTML: orbit/zoom, frusta, "
@@ -113,6 +117,22 @@ def main(argv=None):
             tracker.track(gray, depth, ts)
             if args.hud_out and i % args.hud_every == 0:
                 hud_grays.append((i, gray))
+            if args.viewer_live and args.viewer_out and i > 0 \
+                    and i % args.viewer_live == 0:
+                # live drawer analogue (reference Drawer thread,
+                # drawer.cpp:55-366, renders concurrently from shared
+                # state): re-export the interactive viewer from the
+                # CURRENT map every N frames. The snapshot reads device
+                # state (a pipeline stall, like the reference's map
+                # mutexes); the page auto-reloads while the run is live.
+                # no flush: the map as of the last completed chunk is at
+                # most chunk-1 frames stale (flushing would compile the
+                # per-frame program just for the live view)
+                from .viz import snapshot_map
+                from .viz.webviewer import export_html
+
+                export_html(snapshot_map(tracker.map), args.viewer_out,
+                            autorefresh_s=2.0)
         trajectory, stats, kf_traj = tracker.results()
         wall = time.perf_counter() - t0
         print(f"wall time: {wall/len(seq)*1000:.2f} ms/frame (incl. first-frame compile)")

@@ -19,6 +19,7 @@ Everything is inlined: open the file in any browser, offline.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -175,13 +176,16 @@ def export_html(
     traj_T_w_c: np.ndarray | None = None,
     local_mask: np.ndarray | None = None,
     max_points: int = 60000,
+    autorefresh_s: float | None = None,
 ) -> None:
     """Write the interactive viewer HTML for a map snapshot.
 
     traj_T_w_c: optional [F,4,4] camera-to-world per-frame poses (the
     convention results() returns) for playback/follow-cam.
     local_mask: optional [P] bool over snap.points — drawn red (the
-    reference's local-map point coloring, drawer.cpp:155-166)."""
+    reference's local-map point coloring, drawer.cpp:155-166).
+    autorefresh_s: live mode (run_slam --viewer-live) — the page reloads
+    itself every N seconds so a browser tracks the growing map."""
     pts = np.asarray(snap.points, np.float64)
     if local_mask is None:
         local_mask = np.zeros(len(pts), bool)
@@ -207,8 +211,19 @@ def export_html(
         "loop": snap.loop_edges.tolist(),
         "traj": rnd(traj, 4),
     }
-    with open(path, "w") as f:
-        f.write(_PAGE.replace("__DATA__", json.dumps(data)))
+    page = _PAGE.replace("__DATA__", json.dumps(data))
+    if autorefresh_s:
+        page = page.replace(
+            "<head>",
+            f'<head><meta http-equiv="refresh" content="{autorefresh_s:g}">',
+            1,
+        )
+    # atomic replace: a live-mode browser refresh must never read a
+    # half-written file
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(page)
+    os.replace(tmp, path)
 
 
 def auto_target(snap: MapSnapshot) -> np.ndarray:
