@@ -1,27 +1,28 @@
 """Sustained cap-churn through the full SlamSystem (VERDICT r3 #2).
 
-Drives the room-orbit scenario with a keyframe cap far below the
-sequence's lifetime keyframe demand, so the run exercises the complete
-churn cycle end-to-end: insertion -> redundancy culling
-(keyframe.cpp:400-491 protocol) -> generation-bumped slot recycling ->
-covisible reparenting -> and, when no slot is free, the need_kf drop gate
-(pipeline/system.py) — all while tracking continues and the exported
-trajectory stays recoverable through the Tcp/generation walk.
+Drives the loop-e2e pan trajectory (high keyframe cadence at fps=3;
+measured on TPU: 17 lifetime keyframe inserts with 7 redundancy culls at
+uncapped run — tools/dbg_loop_scenarios.py) with max_kf=14, so lifetime
+demand EXCEEDS the cap and the run exercises the complete churn cycle
+end-to-end: insertion -> redundancy culling (keyframe.cpp:400-491
+protocol) -> generation-bumped slot recycling -> covisible reparenting ->
+and, when no slot is momentarily free, the need_kf drop gate — all while
+tracking continues and the exported trajectory stays recoverable through
+the Tcp/generation walk.
 
-The orbit revisits every wall segment (outward-looking loop), which is
-what makes keyframes REDUNDANT (>=90% of their points seen elsewhere) and
-lets culling actually fire — a receding path would only saturate the cap.
-
-The full-scale version of this run (240 frames / 42 lifetime inserts /
-cap 24, on TPU) is tools/pilot_kfdense.py with PILOT_MAXKF=24; its
-numbers live in NOTES.md. This is the suite-sized variant.
+Full-scale churn evidence (240 frames / 40-42 inserts / caps 24 and 36,
+on TPU) lives in NOTES.md ("Long-horizon churn runs"); this is the
+suite-sized variant. No vocabulary: loop closing is off, so the ATE bound
+carries the natural drift of the receding pan (~0.25 m, see
+test_loop_e2e's island-residual rationale).
 """
 
 import numpy as np
 import pytest
 
+from test_loop_e2e import pan_trajectory
 from vo_slam_test_tpu.config import SlamConfig
-from vo_slam_test_tpu.datasets.synthetic import SyntheticRGBD, room_orbit_trajectory
+from vo_slam_test_tpu.datasets import SyntheticRGBD
 from vo_slam_test_tpu.datasets.tum import ate_rmse
 from vo_slam_test_tpu.pipeline.system import SlamSystem
 from vo_slam_test_tpu.slam_map.map_state import MapCaps
@@ -30,17 +31,17 @@ pytestmark = pytest.mark.slow  # multi-minute: full SlamSystem compiles
 
 
 class TestCapChurn:
-    def test_orbit_under_tight_kf_cap(self):
-        n_frames = 56
-        traj = room_orbit_trajectory(n_frames, loops=1.25)
-        seq = SyntheticRGBD(trajectory=traj, scene="room", seed=7)
+    def test_pan_under_tight_kf_cap(self):
+        traj = pan_trajectory()
+        seq = SyntheticRGBD(seed=41, trajectory=traj)
+        n_frames = len(seq)
         cfg = SlamConfig(
             camera_fx=seq.fx, camera_fy=seq.fy,
             camera_cx=seq.cx, camera_cy=seq.cy,
             camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
-            camera_fps=10,
+            camera_fps=3,
         )
-        caps = MapCaps(max_kf=12, max_pt=4096)
+        caps = MapCaps(max_kf=14, max_pt=8192)
         sys_ = SlamSystem(cfg, caps=caps, chunk=4)
         for i in range(n_frames):
             g, d, ts = seq[i]
@@ -64,14 +65,13 @@ class TestCapChurn:
         # pose for every tracked frame even though reference keyframes
         # were culled and their slots re-used
         ok_rows = np.asarray(oks)
-        assert np.isfinite(traj_est[ok_rows]).all()
+        assert np.isfinite(np.stack(traj_est)[ok_rows]).all()
 
-        # trajectory quality stays sane under churn: the orbit is ~2.4 m
-        # across; a corrupted recovery walk or a map poisoned by recycling
-        # shows up as meters of error
+        # quality stays sane under churn (receding pan, no loop closure:
+        # natural drift ~0.25 m; corruption shows up as meters)
         gt = np.stack([seq.poses[i] for i in range(n_frames)])
         rmse = ate_rmse(sys_.timestamps, gt, sys_.timestamps, traj_est)
-        assert rmse < 0.30, rmse
+        assert rmse < 0.6, rmse
 
         # map invariants survive churn: no binding to a dead point, no
         # observation disagreeing with the binding table
