@@ -12,18 +12,25 @@ the Tcp/generation walk.
 
 Full-scale churn evidence (240 frames / 40-42 inserts / caps 24 and 36,
 on TPU) lives in NOTES.md ("Long-horizon churn runs"); this is the
-suite-sized variant. No vocabulary: loop closing is off, so the ATE bound
-carries the natural drift of the receding pan (~0.25 m, see
-test_loop_e2e's island-residual rationale).
+suite-sized variant. The vocabulary is required — the pan legs move
+~0.2 m/frame, beyond cold-model motion-only tracking, and the BoW ref-KF
+fallback (visualOdometry.cpp:227-231) is what carries the early frames
+(measured: the no-vocab variant loses tracking immediately at any cap).
+The ATE bound carries the natural drift of the receding pan (~0.25 m,
+see test_loop_e2e's island-residual rationale) since no drift is
+injected and the natural revisit may or may not close.
 """
 
 import numpy as np
 import pytest
 
 from test_loop_e2e import pan_trajectory
+from vo_slam_test_tpu.bow.vocabulary import build_vocabulary
+from vo_slam_test_tpu.camera import Camera
 from vo_slam_test_tpu.config import SlamConfig
 from vo_slam_test_tpu.datasets import SyntheticRGBD
 from vo_slam_test_tpu.datasets.tum import ate_rmse
+from vo_slam_test_tpu.frontend.extractor import OrbExtractor
 from vo_slam_test_tpu.pipeline.system import SlamSystem
 from vo_slam_test_tpu.slam_map.map_state import MapCaps
 
@@ -41,8 +48,15 @@ class TestCapChurn:
             camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
             camera_fps=3,
         )
+        ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
+        descs = []
+        for i in (0, 6, 12, 20, 26, 36, 50):
+            g, d, _ = seq[i]
+            f = ext(g, d)
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
         caps = MapCaps(max_kf=14, max_pt=8192)
-        sys_ = SlamSystem(cfg, caps=caps, chunk=4)
+        sys_ = SlamSystem(cfg, caps=caps, vocabulary=voc, chunk=4)
         for i in range(n_frames):
             g, d, ts = seq[i]
             sys_.track(g, d, ts)

@@ -79,15 +79,17 @@ def main():
         camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
         camera_fps=3,
     )
-    voc = None
-    if scenario != "churn":
-        ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
-        descs = []
-        for i in (0, 6, 12, 20, 26, 36, 50):
-            g, d, _ = seq[i]
-            f = ext(g, d)
-            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-        voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
+    # ALL scenarios need the vocabulary: the pan legs move ~0.2 m/frame,
+    # beyond cold-model motion-only tracking — the BoW ref-KF fallback
+    # (visualOdometry.cpp:227-231) is what carries frame 1 (measured: the
+    # no-vocab variant loses tracking immediately at ANY cap)
+    ext = OrbExtractor(Camera.from_config(cfg), n_features=1000)
+    descs = []
+    for i in (0, 6, 12, 20, 26, 36, 50):
+        g, d, _ = seq[i]
+        f = ext(g, d)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
 
     caps = MapCaps(
         max_kf=int(os.environ.get("DBG_KF", "14" if scenario == "churn" else "32")),
