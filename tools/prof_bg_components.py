@@ -88,6 +88,16 @@ def _bg(did):
 fns["bg_chunk_noop"] = _bg(_did0)
 fns["bg_chunk_1kf"] = _bg(_did1)
 
+# the full mapping chain as ONE program (the work branch of the per-frame
+# cond): if this exceeds the component sum, the overhead lives in the
+# chain's composition; if it matches, the excess is scan/cond packaging
+from vo_slam_test_tpu.pipeline.system import mapping_step  # noqa: E402
+
+fns["mapping_1kf"] = lambda mm: mapping_step(
+    mm, jnp.asarray(True), kid, caps, cam, sf,
+    interrupt_ba=_false, bow_group_div=gdiv,
+)
+
 _copy = jax.jit(lambda x: jax.tree.map(jnp.copy, x))
 
 # amortized device time: queue N independent (copy -> fn) executions and

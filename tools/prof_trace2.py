@@ -4,7 +4,6 @@ Usage: python tools/prof_trace2.py [fuse|fuse1|cullkf|ba|tri|track]
 """
 import sys; sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
 import os, glob, collections
-os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -31,6 +30,7 @@ fns = {
     "cullkf": lambda mm: culling.cull_keyframes(mm, kid, caps, cam),
     "ba": lambda mm: local_ba.local_bundle_adjust(mm, kid, caps, cam, ils2),
     "tri": lambda mm: triangulate.create_new_map_points(mm, kid, caps, cam, sf),
+    "babuild": lambda mm: local_ba.build_problem_ol(mm, kid, caps, ils2),
 }
 f_ba = jax.jit(fns[target])
 r = f_ba(_copy(m)); jax.block_until_ready(r)

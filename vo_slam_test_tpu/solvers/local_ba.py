@@ -249,9 +249,24 @@ def build_problem_ol(
     )
     o_map = okf.shape[1]
     o_ba = min(O_BA, o_map)
-    col = jnp.argsort(jnp.where(valid_full, 0, 1), axis=1, stable=True)[:, :o_ba]
+    # valid-first compaction WITHOUT a sort (TPU sorts of [L,O] are the
+    # dominant cost of this builder): the r-th valid column of row p is
+    # the one whose running valid-count equals r — scatter each column
+    # index into its rank slot
+    rank = jnp.cumsum(valid_full.astype(jnp.int32), axis=1) - 1   # [L,O]
+    rows = jnp.arange(pid.shape[0], dtype=jnp.int32)[:, None]
+    rk = jnp.where(valid_full & (rank < o_ba), rank, o_ba)
+    col = (
+        jnp.zeros((pid.shape[0], o_ba + 1), jnp.int32)
+        .at[rows, rk]
+        .max(jnp.broadcast_to(jnp.arange(o_map, dtype=jnp.int32)[None],
+                              valid_full.shape))[:, :o_ba]
+    )
+    valid_c = rank[rows, jnp.minimum(col, o_map - 1)] == jnp.arange(
+        o_ba, dtype=jnp.int32)[None]
+    valid_c &= jnp.take_along_axis(valid_full, col, axis=1)
     take = lambda a: jnp.take_along_axis(a, col, axis=1)
-    okf_c, okp_c, slot_c, valid_c = take(okf_s), take(okp_s), take(slot), take(valid_full)
+    okf_c, okp_c, slot_c = take(okf_s), take(okp_s), take(slot)
 
     octave = m.kf_octave[okf_c, okp_c]
     inv_sig2 = (
