@@ -30,7 +30,13 @@ def random_map(seed):
     obs_kf = rng.integers(-1, K, size=(P, O)).astype(np.int32)
     obs_kp = np.where(obs_kf >= 0, rng.integers(0, N, (P, O)), -1).astype(np.int32)
     covis = rng.integers(0, 30, size=(K, K)).astype(np.int32)
+    # creation-ordered slots (kf_seq == slot index, all slots): the
+    # slot-based host oracle below matches the production seq-based island
+    # selection exactly in this regime; seq-vs-slot divergence under
+    # recycling is covered by test_seq_based_selection_under_recycling
+    kf_seq = np.arange(K, dtype=np.int32)
     return m.replace(
+        kf_seq=jnp.asarray(kf_seq),
         kf_valid=jnp.asarray(kf_valid), pt_valid=jnp.asarray(pt_valid),
         pt_ref_kf=jnp.asarray(pt_ref), kf_pose=jnp.asarray(poses),
         pt_pos=jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32)),
@@ -106,6 +112,34 @@ class TestInjectDrift:
             np.testing.assert_array_equal(np.asarray(nm.pt_obs_cnt), cnt)
             np.testing.assert_array_equal(np.asarray(nm.covis), covis)
             np.testing.assert_array_equal(np.asarray(na), assign_o)
+
+    def test_seq_based_selection_under_recycling(self):
+        """A recycled LOW slot created AFTER the cut belongs to the new
+        island: selection follows kf_seq (creation order), not slot index
+        (mirrors the pt_ref_kf rationale in the docstring)."""
+        m = random_map(3)
+        K = CAPS.max_kf
+        # slot 0 was recycled: created last (seq K+5), slot K-2 is the cut
+        seq = np.arange(K, dtype=np.int32)
+        seq[0] = K + 5
+        kf_valid = np.ones(K, bool)
+        m = m.replace(kf_seq=jnp.asarray(seq), kf_valid=jnp.asarray(kf_valid))
+        D = np.eye(4, dtype=np.float32)
+        D[:3, 3] = [0.3, -0.1, 0.2]
+        kf_cut = K - 2
+        nm, _ = inject_drift(
+            m, jnp.full((CAPS.n_feat,), -1, jnp.int32),
+            jnp.asarray(kf_cut, jnp.int32), jnp.asarray(D))
+        poses = np.asarray(m.kf_pose)
+        new_poses = np.asarray(nm.kf_pose)
+        Dinv = np.linalg.inv(D)
+        # recycled slot 0 (seq K+5 >= seq[kf_cut]) IS drifted
+        np.testing.assert_allclose(new_poses[0], poses[0] @ Dinv, atol=1e-5)
+        # an old slot below the cut is NOT
+        np.testing.assert_allclose(new_poses[1], poses[1], atol=1e-6)
+        # the cut slot and above are drifted
+        np.testing.assert_allclose(
+            new_poses[kf_cut], poses[kf_cut] @ Dinv, atol=1e-5)
 
     def test_projections_invariant(self):
         """T' X' == T X for island pairs: tracking continues seamlessly."""

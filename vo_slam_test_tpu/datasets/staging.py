@@ -10,6 +10,7 @@ are disk-cached so repeated bench/pilot runs skip them.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 
@@ -18,11 +19,29 @@ import numpy as np
 CACHE_DIR = os.environ.get("VO_STAGE_CACHE", "/tmp")
 
 
+def _scene_fingerprint(seq) -> str:
+    """Short hash of the sequence's generating parameters, so changing the
+    scenario (seed, trajectory, texture, ...) under an unchanged tag cannot
+    silently reuse stale cached frames. Covers every non-private scalar /
+    string / small-array attribute of the sequence object."""
+    items = []
+    for k in sorted(vars(seq)) if hasattr(seq, "__dict__") else []:
+        if k.startswith("_"):
+            continue
+        v = getattr(seq, k)
+        if isinstance(v, (int, float, str, bool, tuple)):
+            items.append(f"{k}={v!r}")
+        elif isinstance(v, np.ndarray) and v.size <= 64:
+            items.append(f"{k}={v.tobytes().hex()}")
+    return hashlib.sha1(";".join(items).encode()).hexdigest()[:10]
+
+
 def render_all(seq, n_frames: int, tag: str):
     """Pre-render (or load the disk cache of) every frame.
 
     Returns (grays [list of u8 HxW], depths [list of f32 HxW], times)."""
-    path = f"{CACHE_DIR}/pilot_frames_{tag}_{n_frames}.npz"
+    fp = _scene_fingerprint(seq)
+    path = f"{CACHE_DIR}/pilot_frames_{tag}_{n_frames}_{fp}.npz"
     if os.path.exists(path):
         z = np.load(path)
         return list(z["gray"]), list(z["depth"]), z["times"].tolist()
@@ -55,7 +74,14 @@ def scene_vocabulary(cfg, grays, depths, tag: str, k: int = 10,
     end-of-round bench never pays the multi-minute training) -> train."""
     from ..bow.vocabulary import Vocabulary, build_vocabulary
 
-    path = f"{CACHE_DIR}/pilot_voc_{tag}_{k}_{levels}.npz"
+    # key includes a content hash of the (sampled) training frames so a
+    # changed scenario under an unchanged tag retrains instead of silently
+    # reusing a stale vocabulary
+    h = hashlib.sha1()
+    h.update(str(len(grays)).encode())
+    for g in (grays[0], grays[len(grays) // 2], grays[-1]):
+        h.update(np.ascontiguousarray(g).tobytes())
+    path = f"{CACHE_DIR}/pilot_voc_{tag}_{k}_{levels}_{h.hexdigest()[:10]}.npz"
     if os.path.exists(path):
         return Vocabulary.load(path)
     if repo_fallback and os.path.exists(repo_fallback):

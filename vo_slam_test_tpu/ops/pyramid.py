@@ -10,7 +10,8 @@ into buffers padded by EDGE_THRESHOLD=19 with BORDER_REFLECT_101
    and OpenCV's specialized u8 vertical cast
    ((b0*(S0>>4))>>16 + (b1*(S1>>4))>>16 + 2) >> 2 — so FAST responses,
    quad-tree winners, and descriptors match the reference's per-level
-   pixels exactly (golden-tested to equality in tests/test_pyramid.py);
+   pixels exactly (golden-tested to equality in tests/test_ops.py::
+   test_levels_match_cv2_resize_chain_exactly, slow tier);
 2. descriptor sampling may reach ~18 px outside a level for border
    keypoints; those reads land in the *unblurred* reflect halo, because the
    reference's GaussianBlur writes only inside the level view.

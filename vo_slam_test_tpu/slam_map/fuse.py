@@ -28,9 +28,12 @@ from .culling import erase_points
 
 MAX_FUSE = 4096
 TH_LOW = 50
-MERGE_CAP = 2048  # fuse merges actually handled per batched pass; overflow
+MERGE_CAP = 1024  # fuse merges actually handled per batched pass; overflow
 # leaves the extra pairs unmerged (both points stay live — the next fuse
-# pass around either keyframe retries), never corrupts state
+# pass around either keyframe retries), never corrupts state. Must not
+# exceed erase_points' max_erase capacity in _replace_points (1024), or
+# overflow losers would keep pt_valid=True after their observations were
+# rewired onto the winner.
 
 
 def _free_slot_order(free: jnp.ndarray) -> jnp.ndarray:
@@ -149,13 +152,13 @@ def fuse_into_keyframe(
     org_live = (org >= 0) & m.pt_valid[jnp.maximum(org, 0)]
 
     # --- case A: empty slot -> bind candidate --------------------------------
+    # Dummy lanes scatter one-past-the-end (col N of a widened row, sliced
+    # away) so they can never collide with a genuine bind of keypoint N-1:
+    # duplicate-index .set with conflicting values is nondeterministic in XLA.
     bindA = matched & ~org_live
-    kp_w = jnp.where(bindA, kp_sel, N - 1)
-    m = m.replace(
-        kf_mp=m.kf_mp.at[kf_id, kp_w].set(
-            jnp.where(bindA, cand_pt, m.kf_mp[kf_id, kp_w])
-        )
-    )
+    kp_w = jnp.where(bindA, kp_sel, N)
+    row_new = jnp.pad(m.kf_mp[kf_id], (0, 1)).at[kp_w].set(cand_pt)[:N]
+    m = m.replace(kf_mp=m.kf_mp.at[kf_id].set(row_new))
     # append observation (kf_id, kp) to each bound candidate
     free = m.pt_obs_kf[jnp.maximum(cand_pt, 0)] < 0
     slot = jnp.argmax(free, axis=1)
@@ -209,14 +212,15 @@ def _replace_points(m: MapState, loser: jnp.ndarray, winner: jnp.ndarray, mask: 
     dup = jnp.any(lkf[:, :, None] == wkf[:, None, :], axis=2) & has
     move = has & ~dup
 
-    # rebind (move) or clear (dup) every touched keyframe slot
+    # rebind (move) or clear (dup) every touched keyframe slot; dummy lanes
+    # go one-past-the-end in the keypoint axis (col N, sliced away) so they
+    # can never collide with a genuine write to keypoint N-1
     kf_w = jnp.where(has, lkf, K - 1)
-    kp_w = jnp.where(has, lkp, N - 1)
-    new_val = jnp.where(move, winner[:, None], -1)
+    kp_w = jnp.where(has, lkp, N)
+    new_val = jnp.broadcast_to(jnp.where(move, winner[:, None], -1), has.shape)
     m = m.replace(
-        kf_mp=m.kf_mp.at[kf_w, kp_w].set(
-            jnp.where(has, new_val, m.kf_mp[kf_w, kp_w])
-        )
+        kf_mp=jnp.pad(m.kf_mp, ((0, 0), (0, 1)))
+        .at[kf_w, kp_w].set(new_val)[:, :N]
     )
 
     # append moved observations into the winner's free slots: the r-th move
@@ -340,13 +344,16 @@ def fuse_curr_into_neighbors(
     org_live = (org >= 0) & m.pt_valid[jnp.maximum(org, 0)]
 
     # --- case A: empty slot -> bind candidate (batched over neighbors) ----
+    # Dummy lanes scatter one-past-the-end (col N of a widened kf_mp view,
+    # sliced away) so they can never collide with a genuine bind of
+    # keypoint N-1 of the same neighbor (duplicate-index .set with
+    # conflicting values is nondeterministic in XLA)
     bindA = matched & ~org_live
-    kp_w = jnp.where(bindA, best, N - 1)
+    kp_w = jnp.where(bindA, best, N)
     nb_rows = jnp.broadcast_to(nb[:, None], (B, N))
     m = m.replace(
-        kf_mp=m.kf_mp.at[nb_rows, kp_w].set(
-            jnp.where(bindA, cand_pt, m.kf_mp[nb_rows, kp_w])
-        )
+        kf_mp=jnp.pad(m.kf_mp, ((0, 0), (0, 1)))
+        .at[nb_rows, kp_w].set(cand_pt)[:, :N]
     )
     # append observation (nb, kp) to each bound candidate: a candidate may
     # bind in SEVERAL neighbors — its r-th bind (over the neighbor axis)

@@ -32,12 +32,14 @@ from ..slam_map.map_state import MapState
 @jax.jit
 def inject_drift(m: MapState, assign_real: jnp.ndarray, kf_cut: jnp.ndarray,
                  D: jnp.ndarray):
-    """Rigidly move every keyframe slot >= kf_cut and every point whose
-    reference keyframe is in that set by the world-side drift D
-    (p' = D p, T' = T D^-1), and sever all cross-island links.
+    """Rigidly move every keyframe created at-or-after the keyframe in slot
+    kf_cut and every point whose reference keyframe is in that set by the
+    world-side drift D (p' = D p, T' = T D^-1), and sever all cross-island
+    links.
 
-    Point membership follows pt_ref_kf, not slot order: slot recycling
-    means point ids are NOT creation-ordered. Severed links: island KF
+    Island membership follows CREATION ORDER, not slot order: keyframes by
+    kf_seq >= kf_seq[kf_cut] (culling recycles slots, so slot ids are not
+    creation-ordered), points by pt_ref_kf for the same reason. Severed links: island KF
     keypoint bindings to old points (kf_mp), old-island observer entries of
     island KFs on old points (pt_obs_*), island<->old covisibility edges
     (so old KFs qualify as loop candidates — the reference's connected-KF
@@ -50,7 +52,8 @@ def inject_drift(m: MapState, assign_real: jnp.ndarray, kf_cut: jnp.ndarray,
       m: map state.
       assign_real: the tracker's [N] last-frame point bindings
         (SlamTrackState.assign_real).
-      kf_cut: i32 device scalar — first keyframe slot of the island.
+      kf_cut: i32 device scalar — slot of the first island keyframe (its
+        kf_seq defines the creation-order cut).
       D: [4,4] f32 rigid world-side drift.
 
     Returns (new_map, new_assign_real).
@@ -59,7 +62,8 @@ def inject_drift(m: MapState, assign_real: jnp.ndarray, kf_cut: jnp.ndarray,
     D = jnp.asarray(D, jnp.float32)
     D_inv = jnp.linalg.inv(D)
 
-    kf_sel = (jnp.arange(K) >= kf_cut) & m.kf_valid
+    cut_seq = m.kf_seq[jnp.clip(kf_cut, 0, K - 1)]
+    kf_sel = (m.kf_seq >= cut_seq) & m.kf_valid
     ref = m.pt_ref_kf
     pt_sel = (ref >= 0) & kf_sel[jnp.clip(ref, 0, K - 1)] & m.pt_valid
 
