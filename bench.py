@@ -203,8 +203,14 @@ def main():
             gt = np.stack([seq.poses[i] for i in range(n_frames)])
             ate = ate_rmse(tracker.timestamps, gt, tracker.timestamps, traj)
             n_kf_ever = int(np.asarray(tracker.map.n_kf_ever))
+            its = np.asarray([(a, b) for _, a, b in tracker.ba_iters]
+                             or [(0, 0)])
             print(f"[bench] kfdense: KFs ever {n_kf_ever}, closures "
-                  f"{tracker.loop_closures}, ATE {ate*100:.2f} cm",
+                  f"{tracker.loop_closures}, ATE {ate*100:.2f} cm, "
+                  f"BA iters total {its.sum()} "
+                  f"(mean/event {its.sum(1).mean():.1f}, "
+                  f"max {its.sum(1).max()}), "
+                  f"ba_interrupts {tracker.n_ba_interrupts}",
                   file=sys.stderr)
             assert n_kf_ever >= 25, n_kf_ever
             assert len(tracker.loop_closures) >= 1, tracker.loop_attempts

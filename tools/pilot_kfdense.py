@@ -185,6 +185,14 @@ def main():
               f"mean {gaps.mean():.1f} max {gaps.max()}")
     print(f"loop attempts (frame, cand, ok): {sys_.loop_attempts}")
     print(f"loop closures at frames: {sys_.loop_closures}")
+    if sys_.ba_iters:
+        its = np.asarray([(a, b) for _, a, b in sys_.ba_iters])
+        print(f"BA LM iterations per KF event (pass1+pass2): "
+              f"total {its.sum()}, mean {its.sum(1).mean():.1f}, "
+              f"median {np.median(its.sum(1)):.0f}, max {its.sum(1).max()}, "
+              f"pass1 mean {its[:,0].mean():.1f}, pass2 mean {its[:,1].mean():.1f}; "
+              f"interrupts={sys_.n_ba_interrupts}")
+        print(f"BA iters by event: {[(f, a, b) for f, a, b in sys_.ba_iters]}")
     # churn metrics (VERDICT #2): lifetime inserts vs cap, slot recycling
     kf_gen = np.asarray(sys_.map.kf_gen)
     pt_gen = np.asarray(sys_.map.pt_gen)

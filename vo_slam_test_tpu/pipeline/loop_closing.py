@@ -18,11 +18,12 @@ Covers the reference's LoopClosing thread (loopClosing.cpp):
   Map points are corrected through their reference keyframes afterwards
   (optimizer_ceres.cpp:1281-1301).
 
-Deviation: the reference runs 5 RANSAC iterations per candidate per loop
-round across up to 300 total; the batched solver evaluates 128 hypotheses
-at once, once per confirmed candidate. searchBySim3's bidirectional extra
-matching is subsumed by the Scw-projection search (dense matrices make the
-extra BoW-independent pass redundant).
+Deviation (DEVIATIONS.md D1): the reference runs 5 RANSAC iterations per
+candidate per loop round across up to 300 total; the batched solver
+evaluates 128 hypotheses at once, once per confirmed candidate.
+searchBySim3's bidirectional matched-set enlargement IS implemented
+(_search_by_sim3 below, matcher.cpp:679-865 semantics) and runs before the
+>=20 refine gate, matching loopClosing.cpp:253-274 order.
 """
 
 from __future__ import annotations

@@ -662,14 +662,16 @@ def _mapping_step(
             m, kid, caps, cam, scale_factors, bow_group_div=bow_group_div
         )
         m = fuse.search_in_neighbors(m, kid, caps, cam, scale_factors)
-        m = local_ba.local_bundle_adjust(
+        m, n1, n2 = local_ba.local_bundle_adjust_iters(
             m, kid, caps, cam, 1.0 / (scale_factors * scale_factors),
             stop=interrupt_ba,
         )
         m = culling.cull_keyframes(m, kid, caps, cam)
-        return m
+        return m, n1, n2
 
-    return jax.lax.cond(did_kf & (kf_id >= 0), work, lambda m: m, m)
+    zero = jnp.asarray(0, jnp.int32)
+    return jax.lax.cond(
+        did_kf & (kf_id >= 0), work, lambda m: (m, zero, zero), m)
 
 
 mapping_step = functools.partial(
@@ -692,8 +694,10 @@ def _background_one(
     401-415, 531-556); a host-drained close (the pre-inline design) ran
     8-16 frames late and measured live-binding decay killed real loops.
 
-    Returns (m, loop_state, cand, cand_gen, closed, which)."""
-    m = _mapping_step(
+    Returns (m, loop_state, cand, cand_gen, closed, which, ba_n1, ba_n2)
+    — the last two are the LM iteration counts local BA actually ran
+    (0/0 on non-KF frames), a per-event load diagnostic."""
+    m, ba_n1, ba_n2 = _mapping_step(
         m, did_kf, kf_id, caps, cam, scale_factors, interrupt_ba=interrupt_ba,
         bow_group_div=bow_group_div,
     )
@@ -723,7 +727,7 @@ def _background_one(
                           jnp.asarray(-1, jnp.int32)),
             (m, loop_state),
         )
-    return m, loop_state, cand, cand_gen, closed, which
+    return m, loop_state, cand, cand_gen, closed, which, ba_n1, ba_n2
 
 
 @functools.partial(
@@ -751,13 +755,14 @@ def background_step(
     mapping chain; on hardware where mapping has its own resources (the
     reference's extra CPU cores, or a dedicated second chip) it leaves the
     tracking path entirely."""
-    m, loop_state, cand, cand_gen, closed, which = _background_one(
+    m, loop_state, cand, cand_gen, closed, which, ba_n1, ba_n2 = _background_one(
         m, loop_state, did_kf, kf_id, interrupt_ba, bow_group_div, caps,
         cam, scale_factors, with_loop, inline_close,
     )
     packed = jnp.stack(
-        [closed.astype(jnp.int32), which, (cand[0] >= 0).astype(jnp.int32)]
-    )  # [3]
+        [closed.astype(jnp.int32), which, (cand[0] >= 0).astype(jnp.int32),
+         ba_n1, ba_n2]
+    )  # [5]
     return m, loop_state, cand, cand_gen, closed, which, packed
 
 
@@ -854,21 +859,23 @@ def background_chunk(
     def body(carry, xs):
         mm, ls = carry
         did, kid = xs
-        mm, ls, cand, cand_gen, closed, which = _background_one(
+        mm, ls, cand, cand_gen, closed, which, ba_n1, ba_n2 = _background_one(
             mm, ls, did, kid, interrupt_ba, bow_group_div, caps, cam,
             scale_factors, with_loop, inline_close,
         )
-        return (mm, ls), (cand, cand_gen, closed, which)
+        return (mm, ls), (cand, cand_gen, closed, which, ba_n1, ba_n2)
 
-    (m, loop_state), (cands, cand_gens, closeds, whichs) = jax.lax.scan(
+    (m, loop_state), (cands, cand_gens, closeds, whichs, ba_n1s, ba_n2s) = jax.lax.scan(
         body, (m, loop_state), (did_kf, kf_id)
     )
-    # inline-close outcome rows, packed HERE so the host can queue the
-    # async readback without dispatching a separate packing program
+    # inline-close outcome rows + local-BA iteration counts, packed HERE so
+    # the host can queue the async readback without dispatching a separate
+    # packing program
     packed = jnp.stack(
-        [closeds.astype(jnp.int32), whichs, (cands[:, 0] >= 0).astype(jnp.int32)],
+        [closeds.astype(jnp.int32), whichs, (cands[:, 0] >= 0).astype(jnp.int32),
+         ba_n1s, ba_n2s],
         axis=1,
-    )  # [K,3]
+    )  # [K,5]
     return m, loop_state, cands, cand_gens, closeds, whichs, packed
 
 
@@ -969,6 +976,10 @@ class SlamSystem:
         self._force_interrupt_ba = None  # forced value for tests; None = auto
         self._bg_refs: List = []         # recent background output refs
         self.n_ba_interrupts = 0         # diagnostics
+        # per-KF-event local-BA LM iteration counts (frame_idx, n_pass1,
+        # n_pass2) — folded from the packed rows at results() time; the
+        # load diagnostic behind the adaptive-iteration evidence
+        self.ba_iters: List[Tuple[int, int, int]] = []
         # featVec bucket divisor for searchForTriangulation parity
         # (matcher.cpp:903-965): word // k^levels_up at levels_up=3
         self._bow_group_div = jnp.asarray(
@@ -1213,7 +1224,7 @@ class SlamSystem:
             self._process_one_diag(frame_idx, crow, grow, kf_id, kf_gen)
 
     def _queue_close_results(self, frame_ids, packed):
-        """Stash per-frame inline-close outcome rows (packed [B,3] i32,
+        """Stash per-frame inline-close outcome rows (packed [B,5] i32,
         built inside the background program) for a LAZY asynchronous
         readback — loop_closures/loop_attempts are diagnostics; the device
         state is already corrected, so the rows are only read at results()/
@@ -1231,7 +1242,11 @@ class SlamSystem:
         loop_attempts and (opt-in) trigger the upstream global BA."""
         for frame_ids, packed in self._close_results:
             arr = np.asarray(packed)
-            for frame_idx, (done, which, attempted) in zip(frame_ids, arr.tolist()):
+            for frame_idx, row in zip(frame_ids, arr.tolist()):
+                done, which, attempted = row[:3]
+                if len(row) >= 5 and (row[3] or row[4]):
+                    # a KF event's local BA ran (non-KF frames report 0/0)
+                    self.ba_iters.append((frame_idx, row[3], row[4]))
                 if attempted:
                     self.loop_attempts.append((frame_idx, int(which), bool(done)))
                 if done:

@@ -472,11 +472,11 @@ def _lm_pass_ol(
     def cond(state):
         return (state[3] < iters) & (~state[4])
 
-    poses, points, _, _, _ = jax.lax.while_loop(
+    poses, points, _, it, _ = jax.lax.while_loop(
         cond, body,
         (poses0, points0, jnp.asarray(1e-4, poses0.dtype), jnp.asarray(0), jnp.asarray(False)),
     )
-    return poses, points
+    return poses, points, it
 
 
 def _lm_pass_pallas(
@@ -553,11 +553,11 @@ def _lm_pass_pallas(
     def cond(state):
         return (state[3] < iters) & (~state[4])
 
-    poses, points, _, _, _ = jax.lax.while_loop(
+    poses, points, _, it, _ = jax.lax.while_loop(
         cond, body,
         (poses0, points0, jnp.asarray(1e-4, poses0.dtype), jnp.asarray(0), jnp.asarray(False)),
     )
-    return poses, points
+    return poses, points, it
 
 
 def _classify_ol(poses, points, prob: BAProblemOL, cam: Camera):
@@ -578,15 +578,37 @@ def _ba_iters(stop):
 def _ba_optimize(poses, points, prob, cam, wk, it1, it2, axis=None):
     """The two-pass LM optimization (optimizer_ceres.cpp:583-699): pass 1
     Huber 5 iters, chi2 reclassification, pass 2 inliers-only 10 iters.
-    Runs shard-local when axis names a mesh axis (L sharded)."""
+    Runs shard-local when axis names a mesh axis (L sharded).
+
+    Also returns the iteration counts each pass actually ran (the
+    ftol/steptol early exits make these data-dependent) — the load
+    diagnostic behind the per-event `ba_iters` record in SlamSystem."""
     lm_pass = _lm_pass_pallas if jax.default_backend() == "tpu" else _lm_pass_ol
-    poses, points = lm_pass(
+    poses, points, n1 = lm_pass(
         poses, points, prob, cam, prob.o_valid, True, it1, wk, axis=axis
     )
     inl = _classify_ol(poses, points, prob, cam)
-    poses, points = lm_pass(poses, points, prob, cam, inl, False, it2, wk, axis=axis)
+    poses, points, n2 = lm_pass(poses, points, prob, cam, inl, False, it2, wk, axis=axis)
     final_inl = _classify_ol(poses, points, prob, cam)
-    return poses, points, final_inl
+    return poses, points, final_inl, n1, n2
+
+
+def _local_ba_impl(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    cam: Camera,
+    inv_level_sigma2: jnp.ndarray | None = None,
+    stop: jnp.ndarray | None = None,
+):
+    prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
+    poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
+    points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
+    it1, it2 = _ba_iters(stop)
+    wk = min(W_KF, m.kf_valid.shape[0])
+    poses, points, final_inl, n1, n2 = _ba_optimize(
+        poses, points, prob, cam, wk, it1, it2)
+    return _ba_write_back(m, prob, poses, points, final_inl), n1, n2
 
 
 @functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
@@ -606,13 +628,22 @@ def local_bundle_adjust(
     single iteration so a backlogged mapping worker can yield quickly; the
     outlier classification and write-back still run, leaving the map
     consistent."""
-    prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
-    poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
-    points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
-    it1, it2 = _ba_iters(stop)
-    wk = min(W_KF, m.kf_valid.shape[0])
-    poses, points, final_inl = _ba_optimize(poses, points, prob, cam, wk, it1, it2)
-    return _ba_write_back(m, prob, poses, points, final_inl)
+    return _local_ba_impl(m, center_kf, caps, cam, inv_level_sigma2, stop)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("caps",), donate_argnums=(0,))
+def local_bundle_adjust_iters(
+    m: MapState,
+    center_kf: jnp.ndarray,
+    caps: MapCaps,
+    cam: Camera,
+    inv_level_sigma2: jnp.ndarray | None = None,
+    stop: jnp.ndarray | None = None,
+):
+    """local_bundle_adjust variant that also returns (n_iter_pass1,
+    n_iter_pass2) the LM passes actually ran — per-event load diagnostics
+    threaded through background_chunk's packed rows."""
+    return _local_ba_impl(m, center_kf, caps, cam, inv_level_sigma2, stop)
 
 
 def _ba_write_back(m, prob, poses, points, final_inl):
@@ -719,12 +750,12 @@ def local_bundle_adjust_mesh(
     def optimize(poses, points, prob, it1, it2):
         return _ba_optimize(poses, points, prob, cam, wk, it1, it2, axis=ax)
 
-    poses, points, final_inl = jax.jit(
+    poses, points, final_inl, _, _ = jax.jit(
         shard_map(
             optimize,
             mesh=mesh,
             in_specs=(P(), P(ax), prob_spec, P(), P()),
-            out_specs=(P(), P(ax), P(None, ax)),
+            out_specs=(P(), P(ax), P(None, ax), P(), P()),
         )
     )(poses, points, prob, it1, it2)
     return _ba_write_back(m, prob, poses, points, final_inl)
