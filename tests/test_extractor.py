@@ -162,10 +162,19 @@ class TestDistribute:
         spread_kept = (keep >= 500).sum()
         assert spread_kept >= 80
 
-    def test_small_input_passthrough(self):
+    def test_small_input_reference_semantics(self):
+        # Both points fall in the same quadrant at every split, so the
+        # splitting pass makes no progress and the reference STOPS, keeping
+        # only the best response of the shared node (oracle-verified:
+        # DistributeOctTree returns [1] here, not both — the no-progress
+        # rule at ORBextractor.cpp:674 fires before points separate).
         xs = np.array([10.0, 20.0]); ys = np.array([10.0, 30.0]); r = np.array([1.0, 2.0])
         keep = distribute_octtree(xs, ys, r, 0, 100, 0, 100, 50)
-        assert set(keep) == {0, 1}
+        assert set(keep) == {1}
+        # separable points both survive
+        xs2 = np.array([10.0, 80.0]); ys2 = np.array([10.0, 70.0])
+        keep2 = distribute_octtree(xs2, ys2, r, 0, 100, 0, 100, 50)
+        assert set(keep2) == {0, 1}
 
 
 class TestExtractorEndToEnd:

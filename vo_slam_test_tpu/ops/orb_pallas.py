@@ -11,8 +11,9 @@ shapes. Mosaic constraints shaped the design:
   and the remainders (dy in [0,8), dx in [0,128)) are absorbed into the
   arithmetic below; the pyramid canvas is widened so aligned patches of
   border keypoints stay in bounds (pyramid.canvas_hw);
-- no atan2: cos/sin come from the raw moments directly; degrees are
-  computed outside;
+- angles go through the cvFastAtan2 polynomial (pure VPU arithmetic, no
+  table atan2) exactly as the reference quantizes them; degrees are
+  recomputed outside from the raw moments with the same polynomial;
 - no gathers / cross-tile reshapes: the circular moment mask is evaluated
   analytically from iotas (umax rows unrolled as one-hot sums), descriptor
   samples resolve with a separable one-hot — row-select as a
@@ -32,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pattern
+from . import orientation, pattern
 from .pyramid import HALO
 
 PATCH_H = 48          # rows DMA'd (8-aligned origin; dy in [0,8))
@@ -91,10 +92,13 @@ def _kernel(raw_ref, blur_ref, meta_ref,
         w_m = t_raw * mask
         m10 = jnp.sum(w_m * rx.astype(jnp.float32))
         m01 = jnp.sum(w_m * ry.astype(jnp.float32))
-        r = jnp.sqrt(m10 * m10 + m01 * m01)
-        safe_r = jnp.where(r < 1e-12, 1.0, r)
-        ca = jnp.where(r < 1e-12, 1.0, m10 / safe_r)
-        sa = jnp.where(r < 1e-12, 0.0, m01 / safe_r)
+        # the reference rotates the rBRIEF pattern by cos/sin of the
+        # fastAtan2-quantized DEGREE angle (computeOrbDescriptor); matching
+        # its rounding means going through the same quantization
+        deg = orientation.fast_atan2_deg(m01, m10)
+        theta = deg * np.float32(np.pi / 180.0)
+        ca = jnp.cos(theta)
+        sa = jnp.sin(theta)
 
         cp_blur = pltpu.make_async_copy(
             blur_ref.at[lv, pl.ds(y0a, PATCH_H), pl.ds(x0a, PATCH_W)], blur_tile, sem
@@ -182,8 +186,7 @@ def orb_angle_desc_pallas(
       jnp.asarray(p1x), jnp.asarray(p1y), jnp.asarray(p2x), jnp.asarray(p2y),
       jnp.asarray(pack))
 
-    deg = jnp.degrees(jnp.arctan2(mom[:, 1], mom[:, 0]))
-    deg = jnp.where(deg < 0, deg + 360.0, deg)
+    deg = orientation.fast_atan2_deg(mom[:, 1], mom[:, 0])
     # assemble uint32 words from exact 16-bit halves (bit b of word w is
     # pair 32w+b, matching brief.py): half h holds bits 16h..16h+15
     h = halves[:, :16].astype(jnp.uint32)

@@ -5,8 +5,10 @@ over a radius-15 circular patch clipped row-wise by the umax table; angle =
 fastAtan2(m01, m10) in degrees [0, 360).
 
 TPU design: one batched 31x31 gather per keypoint set and two masked
-reductions — no per-keypoint loops. Angles use exact atan2 (OpenCV's
-fastAtan2 is a ~0.3 deg approximation; exactness can only improve matching).
+reductions — no per-keypoint loops. Angles replicate OpenCV's cvFastAtan2
+f32 polynomial (fast_atan2_deg) so the cvRound'ed rBRIEF rotations — and
+hence descriptor bits — agree with the reference (validated against the
+compiled reference extractor in tests/test_orb_oracle.py).
 """
 
 from __future__ import annotations
@@ -19,6 +21,32 @@ import numpy as np
 
 from . import pattern
 from .pyramid import HALO
+
+
+# cvFastAtan2's f32 polynomial constants (OpenCV mathfuncs.cpp): the
+# reference's keypoint angles are fastAtan2(m01, m10), NOT exact atan2 —
+# replicating the ~0.005-deg approximation makes the cvRound'ed rBRIEF
+# pattern rotations (and hence descriptor bits) agree with the reference.
+_ATAN_P1 = np.float32(0.9997878412794807 * (180.0 / np.pi))
+_ATAN_P3 = np.float32(-0.3258083974640975 * (180.0 / np.pi))
+_ATAN_P5 = np.float32(0.1555786518463281 * (180.0 / np.pi))
+_ATAN_P7 = np.float32(-0.04432655554792128 * (180.0 / np.pi))
+_ATAN_EPS = np.float32(2.220446049250313e-16)  # (float)DBL_EPSILON
+
+
+def fast_atan2_deg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-faithful cvFastAtan2(y, x) in degrees [0, 360), f32 throughout."""
+    ax = jnp.abs(x).astype(jnp.float32)
+    ay = jnp.abs(y).astype(jnp.float32)
+    lo = jnp.minimum(ax, ay)
+    hi = jnp.maximum(ax, ay)
+    c = lo / (hi + _ATAN_EPS)
+    c2 = c * c
+    poly = (((_ATAN_P7 * c2 + _ATAN_P5) * c2 + _ATAN_P3) * c2 + _ATAN_P1) * c
+    a = jnp.where(ax >= ay, poly, np.float32(90.0) - poly)
+    a = jnp.where(x < 0, np.float32(180.0) - a, a)
+    a = jnp.where(y < 0, np.float32(360.0) - a, a)
+    return a
 
 
 @functools.lru_cache()
@@ -63,8 +91,7 @@ def ic_angle_conv(canvas: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: 
     xx = xs + HALO
     m10 = m[level, 0, yy, xx]
     m01 = m[level, 1, yy, xx]
-    ang = jnp.degrees(jnp.arctan2(m01, m10))
-    return jnp.where(ang < 0, ang + 360.0, ang)
+    return fast_atan2_deg(m01, m10)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -89,5 +116,4 @@ def ic_angle(canvas: jnp.ndarray, level: jnp.ndarray, ys: jnp.ndarray, xs: jnp.n
     xw = offs.astype(jnp.float32)
     m10 = jnp.einsum("nij,j->n", pm, xw)
     m01 = jnp.einsum("nij,i->n", pm, xw)
-    ang = jnp.degrees(jnp.arctan2(m01, m10))
-    return jnp.where(ang < 0, ang + 360.0, ang)
+    return fast_atan2_deg(m01, m10)

@@ -185,7 +185,7 @@ def _reflect_pad(img: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 def build_pyramid(gray_u8: jnp.ndarray, spec: PyramidSpec) -> Pyramid:
     """u8/f32 (H, W) image -> haloed raw + blurred canvases."""
-    from .gaussian import gaussian_blur_7x7
+    from .gaussian import gaussian_blur_7x7_u8
 
     img = gray_u8.astype(jnp.float32)
     levels: List[jnp.ndarray] = [img]
@@ -199,7 +199,10 @@ def build_pyramid(gray_u8: jnp.ndarray, spec: PyramidSpec) -> Pyramid:
         haloed = _reflect_pad(lv, HALO)
         # blur only the interior (the reference's view-scoped GaussianBlur);
         # the blur itself sees a virtual reflect border at the level edge.
-        blurred_interior = gaussian_blur_7x7(lv)
+        # Bit-exact u8 fixed-point path: rBRIEF comparisons then agree with
+        # the reference to the bit (validated vs the compiled reference in
+        # tests/test_orb_oracle.py).
+        blurred_interior = gaussian_blur_7x7_u8(lv)
         haloed_blur = haloed.at[HALO : HALO + h, HALO : HALO + w].set(blurred_interior)
         pad_y, pad_x = CH - haloed.shape[0], CW - haloed.shape[1]
         raws.append(jnp.pad(haloed, ((0, pad_y), (0, pad_x))))
