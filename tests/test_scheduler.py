@@ -1,64 +1,58 @@
-"""Host-side scheduler logic: interruptBA backlog detection.
+"""interruptBA scheduling: the in-chunk per-event stop rule.
 
-Fast tier (no jit compiles beyond two cached scalars): the decision logic
-of SlamSystem._ba_interrupt over fake device refs.
+Round-5 semantics (localMapping.cpp:538-541 + optimizer_ceres.cpp:594):
+a keyframe event's local BA is SKIPPED ENTIRELY when another keyframe is
+already waiting behind it — within a chunk, event k stops iff any later
+frame of the same chunk created a keyframe. The old host-side backlog>=2
+heuristic measured dispatch pipelining (permanently backlogged in steady
+state) and starved every BA; it survives only as the forced test hook.
 """
 
-from vo_slam_test_tpu.pipeline.system import SlamSystem
+import jax.numpy as jnp
+import numpy as np
 
-class _FakeRef:
-    def __init__(self):
-        self.ready = False
-
-    def is_ready(self):
-        return self.ready
+from vo_slam_test_tpu.pipeline.system import SlamSystem, chunk_ba_stops
 
 
-class TestInterruptScheduler:
-    """Host-side interruptBA raising (localMapping.cpp:538-541 analogue):
-    the flag goes up for the next background dispatch exactly when >=2
-    earlier background programs are still executing (one in flight is
-    normal async pipelining; two means mapping is falling behind), and
-    clears as soon as the backlog drains."""
+class TestChunkBaStops:
+    def _stops(self, did):
+        return np.asarray(chunk_ba_stops(jnp.asarray(did, bool))).tolist()
 
+    def test_single_kf_runs_full(self):
+        s = self._stops([0, 0, 1, 0, 0, 0, 0, 0])
+        assert s[2] is False  # only KF: BA runs full
+
+    def test_earlier_kf_yields_to_later(self):
+        # two KFs in one chunk: the first skips, the second runs
+        s = self._stops([0, 1, 0, 0, 0, 1, 0, 0])
+        assert s[1] is True and s[5] is False
+
+    def test_three_kfs_only_last_runs(self):
+        s = self._stops([1, 0, 1, 0, 0, 0, 1, 0])
+        assert s[0] and s[2] and not s[6]
+
+    def test_no_kfs(self):
+        assert self._stops([0] * 8) == [False] * 8
+
+    def test_chunk_of_one(self):
+        assert self._stops([1]) == [False]
+
+
+class TestForcedHook:
     def _sys(self):
         s = object.__new__(SlamSystem)
-        import jax.numpy as jnp
-
         s._interrupt_false = jnp.asarray(False)
         s._interrupt_true = jnp.asarray(True)
         s._force_interrupt_ba = None
-        s._bg_refs = []
         s.n_ba_interrupts = 0
         return s
 
-    def test_backlog_raises_and_drains(self):
-        s = self._sys()
-        assert not bool(s._ba_interrupt())          # empty: no backlog
-        r1, r2, r3 = _FakeRef(), _FakeRef(), _FakeRef()
-        s._note_bg_dispatch(r1)
-        assert not bool(s._ba_interrupt())          # one in flight: normal
-        s._note_bg_dispatch(r2)
-        assert bool(s._ba_interrupt())              # two unfinished: backlog
-        assert s.n_ba_interrupts == 1
-        s._note_bg_dispatch(r3)
-        r1.ready = True                              # oldest completes
-        assert bool(s._ba_interrupt())              # still two unfinished
-        r2.ready = True
-        assert not bool(s._ba_interrupt())          # backlog drained
-        assert s.n_ba_interrupts == 2
+    def test_default_is_false(self):
+        assert not bool(self._sys()._ba_interrupt())
 
     def test_force_hook_overrides(self):
         s = self._sys()
         s._force_interrupt_ba = True
         assert bool(s._ba_interrupt())
         s._force_interrupt_ba = False
-        s._note_bg_dispatch(_FakeRef())
-        s._note_bg_dispatch(_FakeRef())
         assert not bool(s._ba_interrupt())
-
-    def test_ref_list_bounded(self):
-        s = self._sys()
-        for _ in range(30):
-            s._note_bg_dispatch(_FakeRef())
-        assert len(s._bg_refs) <= 8

@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 
 if not os.environ.get("PILOT_TPU"):

@@ -1,11 +1,15 @@
 """FAST-9/16 corner detection as a batched, fixed-shape XLA program.
 
-The reference tiles each pyramid level into ~30 px cells and calls cv::FAST
-per cell with a high threshold, retrying the cell at a low threshold when
-empty (reference: ORBextractor.cpp:775-837). On TPU we invert the structure:
-one dense score map over the whole padded level batch (VPU-friendly shifted
-comparisons, no data-dependent control flow), 3x3 NMS, then a per-cell
-two-threshold select and top-K compaction — all fixed shapes.
+The reference tiles each pyramid level into cells (wCell =
+ceil(width/int(width/30)) px) and calls cv::FAST per cell window with a
+high threshold, retrying the cell at a low threshold when empty
+(reference: ORBextractor.cpp:775-837). On TPU we invert the structure:
+one dense score map over the whole padded level batch (VPU-friendly
+shifted comparisons, no data-dependent control flow), then — round-5
+reference-faithful — NMS whose suppression context is LOCAL to the same
+cell window (a corner on a cell edge never sees across the boundary), the
+per-cell two-threshold retry on the exact variable-pitch grid, and top-K
+compaction — all fixed shapes.
 
 Score semantics match OpenCV's cornerScore<16>: the raw score V is the
 largest threshold at which the pixel is still a corner; detection at
@@ -79,6 +83,116 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     return keep
 
 
+@functools.lru_cache()
+def _cell_geometry(spec: PyramidSpec):
+    """Per level: (width, height, nCols, nRows, wCell, hCell) — the exact
+    cv::FAST window grid of ComputeKeyPointsOctTree (ORBextractor.cpp:
+    788-793: nCols = int(width/30), wCell = ceil(width/nCols))."""
+    geo = []
+    for (h, w) in spec.sizes:
+        width = w - 2 * DETECT_BORDER
+        height = h - 2 * DETECT_BORDER
+        n_cols = max(int(width / 30.0), 1)
+        n_rows = max(int(height / 30.0), 1)
+        w_cell = int(np.ceil(width / n_cols))
+        h_cell = int(np.ceil(height / n_rows))
+        geo.append((width, height, n_cols, n_rows, w_cell, h_cell))
+    return tuple(geo)
+
+
+@functools.lru_cache()
+def _region_planes(spec: PyramidSpec):
+    """Static planes for the reference's cell-local NMS:
+
+    det [L,H,W]: pixel is inside some cell's FAST detection region
+      (3 px inside its window; windows skipped by the iniX>=maxBorderX-6 /
+      iniY>=maxBorderY-3 guards excluded, ORBextractor.cpp:795-812);
+    col_l/col_r [L,W]: pixel is on its cell's left/right edge column;
+    row_t/row_b [L,H]: top/bottom edge row.
+    """
+    geo = _cell_geometry(spec)
+    L = spec.n_levels
+    H, W = spec.sizes[0]
+    b = DETECT_BORDER
+    det = np.zeros((L, H, W), bool)
+    col_l = np.zeros((L, W), bool)
+    col_r = np.zeros((L, W), bool)
+    row_t = np.zeros((L, H), bool)
+    row_b = np.zeros((L, H), bool)
+    for lvl, (h, w) in enumerate(spec.sizes):
+        width, height, n_cols, n_rows, w_cell, h_cell = geo[lvl]
+        x = np.arange(w)
+        y = np.arange(h)
+        relx = x - b - 3  # 0 at the first detectable column
+        rely = y - b - 3
+        jx = relx // w_cell
+        iy = rely // h_cell
+        x_ok = (relx >= 0) & (x < b + width - 3) & (jx < n_cols) & (jx * w_cell < width - 6)
+        y_ok = (rely >= 0) & (y < b + height - 3) & (iy < n_rows) & (iy * h_cell < height - 3)
+        det[lvl, :h, :w] = y_ok[:, None] & x_ok[None, :]
+        col_l[lvl, :w] = relx % w_cell == 0
+        col_r[lvl, :w] = relx % w_cell == w_cell - 1
+        row_t[lvl, :h] = rely % h_cell == 0
+        row_b[lvl, :h] = rely % h_cell == h_cell - 1
+    return det, col_l, col_r, row_t, row_b
+
+
+def _cell_local_nms(score: jnp.ndarray, spec: PyramidSpec, threshold: float) -> jnp.ndarray:
+    """NMS with the reference's cell-local context: a candidate is only
+    suppressed by corner neighbors detected in the SAME cv::FAST window —
+    a corner on a cell edge never sees the stronger corner across the
+    boundary (the per-cell FAST calls of ORBextractor.cpp:816-822)."""
+    det, col_l, col_r, row_t, row_b = (jnp.asarray(p) for p in _region_planes(spec))
+    corner = det & (score > threshold)
+    ms = jnp.where(corner, score, 0.0)
+    keep = corner
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ok = _shift2d(det, dy, dx)
+            if dx == 1:
+                ok &= ~col_r[:, None, :]
+            if dx == -1:
+                ok &= ~col_l[:, None, :]
+            if dy == 1:
+                ok &= ~row_b[:, :, None]
+            if dy == -1:
+                ok &= ~row_t[:, :, None]
+            keep &= score > jnp.where(ok, _shift2d(ms, dy, dx), 0.0)
+    return keep
+
+
+def _cell_retry_select(
+    keep_hi: jnp.ndarray, keep_lo: jnp.ndarray, spec: PyramidSpec
+) -> jnp.ndarray:
+    """Per-cell two-threshold retry on the reference grid: a cell's
+    candidates are its hi-threshold NMS survivors if any exist, else its
+    lo-threshold survivors (the empty-cell retry, ORBextractor.cpp:819-823)."""
+    geo = _cell_geometry(spec)
+    outs = []
+    for lvl in range(spec.n_levels):
+        _, _, n_cols, n_rows, w_cell, h_cell = geo[lvl]
+        y0 = x0 = DETECT_BORDER + 3
+        span_y = n_rows * h_cell
+        span_x = n_cols * w_cell
+        kh = keep_hi[lvl]
+        kl = keep_lo[lvl]
+        H, W = kh.shape
+        pad_y = max(0, y0 + span_y - H)
+        pad_x = max(0, x0 + span_x - W)
+        khp = jnp.pad(kh, ((0, pad_y), (0, pad_x)))[y0:y0 + span_y, x0:x0 + span_x]
+        klp = jnp.pad(kl, ((0, pad_y), (0, pad_x)))[y0:y0 + span_y, x0:x0 + span_x]
+        cells_hi = jnp.any(
+            khp.reshape(n_rows, h_cell, n_cols, w_cell), axis=(1, 3))
+        has_hi = jnp.repeat(jnp.repeat(cells_hi, h_cell, 0), w_cell, 1)
+        sel = jnp.where(has_hi, khp, klp)
+        full = jnp.zeros((H + pad_y, W + pad_x), bool)
+        full = full.at[y0:y0 + span_y, x0:x0 + span_x].set(sel)
+        outs.append(full[:H, :W])
+    return jnp.stack(outs)
+
+
 class CellCandidates(NamedTuple):
     """Fixed-shape per-cell top-K FAST candidates for the whole pyramid."""
 
@@ -118,35 +232,31 @@ def detect_pyramid(
 
         use_pallas = jax.default_backend() == "tpu" and H % TILE_H == 0
 
-    valid = jnp.asarray(level_valid_mask(spec, border=DETECT_BORDER))
     if use_pallas:
         from .fast_pallas import fast_score_nms_pallas
 
-        score_kept = jnp.where(valid, fast_score_nms_pallas(levels), 0.0)
-        score_kept = jnp.where(score_kept > threshold_lo, score_kept, 0.0)
+        score = fast_score_nms_pallas(levels, with_nms=False)
     else:
         score = fast_score(levels)
-        # mask: inside each level's detection region (border 16, like the
-        # reference's minBorder/maxBorder) — also kills the roll wraparound.
-        score = jnp.where(valid, score, 0.0)
-        # low-threshold corners, NMS on the low map (see module docstring)
-        corner_lo = score > threshold_lo
-        keep = nms3x3(score) & corner_lo
-        score_kept = jnp.where(keep, score, 0.0)
+    # reference-faithful selection (round 5): NMS context is cell-local to
+    # the per-cell cv::FAST windows, and the two-threshold retry runs on
+    # the same variable-pitch cell grid (wCell = ceil(width/int(width/30)))
+    # — validated against the compiled reference extractor in
+    # tests/test_orb_oracle.py.
+    keep_hi = _cell_local_nms(score, spec, threshold_hi)
+    keep_lo = _cell_local_nms(score, spec, threshold_lo)
+    keep = _cell_retry_select(keep_hi, keep_lo, spec)
+    score_kept = jnp.where(keep, score, 0.0)
 
-    # cell decomposition over the detection region
+    # cell decomposition for fixed-shape top-K compaction (the 30 px grid
+    # here is only a compaction structure, not the reference's cell grid)
     ncy, ncx = cell_grid_shape(spec)
     pad_y = DETECT_BORDER + ncy * CELL - H
     pad_x = DETECT_BORDER + ncx * CELL - W
     s = jnp.pad(score_kept, ((0, 0), (0, max(pad_y, 0)), (0, max(pad_x, 0))))
     s = s[:, DETECT_BORDER : DETECT_BORDER + ncy * CELL, DETECT_BORDER : DETECT_BORDER + ncx * CELL]
     cells = s.reshape(L, ncy, CELL, ncx, CELL).transpose(0, 1, 3, 2, 4)
-    cells = cells.reshape(L, ncy * ncx, CELL * CELL)
-
-    # two-threshold retry: if the cell has any high-threshold corner, only
-    # those count; otherwise fall back to low-threshold corners.
-    has_hi = jnp.any(cells > threshold_hi, axis=-1, keepdims=True)
-    eligible = jnp.where(has_hi, jnp.where(cells > threshold_hi, cells, 0.0), cells)
+    eligible = cells.reshape(L, ncy * ncx, CELL * CELL)
 
     # top-K by K iterated argmaxes: lax.top_k lowers to a FULL SORT of the
     # 900-wide cell axis (measured 1.5 ms/frame on v5e); K=8 masked argmax

@@ -59,7 +59,17 @@ def _score_rows(tile: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(m, zero)
 
 
+def _kernel_raw(levels_ref, out_ref, tile_ref, sem):
+    """Raw dense scores, no NMS — the cell-local NMS (reference cv::FAST
+    window semantics, fast.py round 5) runs in XLA on this output."""
+    _kernel_common(levels_ref, out_ref, tile_ref, sem, with_nms=False)
+
+
 def _kernel(levels_ref, out_ref, tile_ref, sem):
+    _kernel_common(levels_ref, out_ref, tile_ref, sem, with_nms=True)
+
+
+def _kernel_common(levels_ref, out_ref, tile_ref, sem, with_nms):
     li = pl.program_id(0)
     ti = pl.program_id(1)
     # DMA the tile + halo from HBM into VMEM scratch
@@ -100,6 +110,9 @@ def _kernel(levels_ref, out_ref, tile_ref, sem):
     s = jnp.maximum(m, jnp.zeros_like(m))  # [TILE_H + 2, W]
 
     inner = s[1:-1, :]
+    if not with_nms:
+        out_ref[0, :, :] = inner.astype(jnp.float32)
+        return
     keep = None
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -114,13 +127,16 @@ def _kernel(levels_ref, out_ref, tile_ref, sem):
     out_ref[0, :, :] = out.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fast_score_nms_pallas(levels: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """[L, H, W] f32 pyramid batch -> [L, H, W] f32 NMS-kept FAST scores.
+@functools.partial(jax.jit, static_argnames=("interpret", "with_nms"))
+def fast_score_nms_pallas(
+    levels: jnp.ndarray, interpret: bool = False, with_nms: bool = True
+) -> jnp.ndarray:
+    """[L, H, W] f32 pyramid batch -> [L, H, W] f32 FAST scores.
 
-    Matches jnp.where(nms3x3(fast_score(x)) , fast_score(x), 0) away from the
-    image borders (first/last 4 rows/cols are zeroed; callers mask a 16 px
-    border anyway).
+    with_nms=True matches jnp.where(nms3x3(fast_score(x)), fast_score(x), 0)
+    away from the image borders (first/last 4 rows/cols are zeroed; callers
+    mask a 16 px border anyway). with_nms=False returns the raw score map
+    for the reference-faithful cell-local NMS in fast.detect_pyramid.
     """
     L, H, W = levels.shape
     n_tiles = H // TILE_H  # H=480, TILE_H=40 -> 12
@@ -130,7 +146,7 @@ def fast_score_nms_pallas(levels: jnp.ndarray, interpret: bool = False) -> jnp.n
     padded = jnp.pad(levels, ((0, 0), (HALO, HALO), (0, 0)))
 
     out = pl.pallas_call(
-        _kernel,
+        _kernel if with_nms else _kernel_raw,
         out_shape=jax.ShapeDtypeStruct((L, H, W), jnp.float32),
         grid=(L, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

@@ -761,8 +761,8 @@ def background_step(
     )
     packed = jnp.stack(
         [closed.astype(jnp.int32), which, (cand[0] >= 0).astype(jnp.int32),
-         ba_n1, ba_n2]
-    )  # [5]
+         ba_n1, ba_n2, did_kf.astype(jnp.int32)]
+    )  # [6]
     return m, loop_state, cand, cand_gen, closed, which, packed
 
 
@@ -856,27 +856,46 @@ def background_chunk(
     order, as one dispatch (scan; non-KF frames fall through the no-op
     branch)."""
 
+    # per-event interruptBA (localMapping.cpp:538-541): the reference
+    # aborts a keyframe's local BA when another keyframe is already
+    # waiting in the queue — within a chunk, event k's BA is skipped iff a
+    # LATER frame of the same chunk also created a keyframe (the later KF
+    # "arrives" while event k's BA would run, since the chunk processes
+    # events serially). The host-side flag still ORs in (tests force it).
+    stops = chunk_ba_stops(did_kf) | interrupt_ba
+
     def body(carry, xs):
         mm, ls = carry
-        did, kid = xs
+        did, kid, stop = xs
         mm, ls, cand, cand_gen, closed, which, ba_n1, ba_n2 = _background_one(
-            mm, ls, did, kid, interrupt_ba, bow_group_div, caps, cam,
+            mm, ls, did, kid, stop, bow_group_div, caps, cam,
             scale_factors, with_loop, inline_close,
         )
         return (mm, ls), (cand, cand_gen, closed, which, ba_n1, ba_n2)
 
     (m, loop_state), (cands, cand_gens, closeds, whichs, ba_n1s, ba_n2s) = jax.lax.scan(
-        body, (m, loop_state), (did_kf, kf_id)
+        body, (m, loop_state), (did_kf, kf_id, stops)
     )
-    # inline-close outcome rows + local-BA iteration counts, packed HERE so
-    # the host can queue the async readback without dispatching a separate
-    # packing program
+    # inline-close outcome rows + local-BA iteration counts + the KF flag
+    # (distinguishes an interrupt-skipped BA (did=1, n1=n2=0) from a non-KF
+    # frame), packed HERE so the host can queue the async readback without
+    # dispatching a separate packing program
     packed = jnp.stack(
         [closeds.astype(jnp.int32), whichs, (cands[:, 0] >= 0).astype(jnp.int32),
-         ba_n1s, ba_n2s],
+         ba_n1s, ba_n2s, did_kf.astype(jnp.int32)],
         axis=1,
-    )  # [K,5]
+    )  # [K,6]
     return m, loop_state, cands, cand_gens, closeds, whichs, packed
+
+
+def chunk_ba_stops(did_kf: jnp.ndarray) -> jnp.ndarray:
+    """[K] bool — event k must skip its local BA because a later frame of
+    the same chunk created a keyframe (the reference's interruptBA raised
+    by a queued new keyframe, localMapping.cpp:538-541 + the entry check
+    optimizer_ceres.cpp:594)."""
+    d = did_kf.astype(jnp.int32)
+    later_incl = jnp.flip(jnp.cumsum(jnp.flip(d)), 0)  # KFs at index >= k
+    return (later_incl - d) > 0
 
 
 def recover_frame_pose(
@@ -963,14 +982,14 @@ class SlamSystem:
         self._drain_every = max(1, int(drain_chunk))
         # interruptBA analogue (localMapping.cpp:538-541): the reference
         # aborts local BA whenever a new keyframe is queued while BA runs —
-        # freshness beats convergence under load. The chunked-dispatch
-        # analogue: when the host is about to dispatch a background chunk
-        # while TWO or more earlier background programs are still executing
-        # (one in flight is the normal async pipeline depth; two means the
-        # mapping stream is falling behind tracking), the new chunk's BA
-        # runs with the interrupt flag up and yields after one LM iteration
-        # (solvers/local_ba.py `stop`). Both flag values are pre-staged
-        # device scalars (a fresh per-dispatch transfer stalls the tunnel).
+        # freshness beats convergence under load. Round-5 production rule:
+        # IN-CHUNK and per-event (chunk_ba_stops): event k skips its BA iff
+        # a LATER frame of the same chunk created a keyframe, mirroring the
+        # serial queue — and the skip is the reference's entry-check
+        # `if (stopFlag) return;` (optimizer_ceres.cpp:594), not a
+        # truncated solve. The host flag below only ORs in a forced value
+        # (tests/stress). Both flag values are pre-staged device scalars
+        # (a fresh per-dispatch transfer stalls the tunnel).
         self._interrupt_false = jnp.asarray(False)
         self._interrupt_true = jnp.asarray(True)
         self._force_interrupt_ba = None  # forced value for tests; None = auto
@@ -1006,19 +1025,20 @@ class SlamSystem:
         self._frame_id = 0
 
     def _ba_interrupt(self) -> jnp.ndarray:
-        """interruptBA decision for the NEXT background dispatch
-        (localMapping.cpp:538-541 analogue — see __init__). Counts how many
-        recent background programs haven't finished; >=2 unfinished means
-        the background stream is backlogged beyond normal pipelining."""
+        """Host-side interruptBA override for the NEXT background dispatch.
+
+        Round-5 revision: the production trigger is IN-CHUNK and
+        per-event (chunk_ba_stops — a later keyframe in the same chunk
+        skips the earlier event's BA, the reference's queued-new-keyframe
+        abort). The old host heuristic (>=2 unfinished background
+        dispatches) measured DISPATCH pipelining, which is permanently
+        backlogged in steady state, and starved every BA to nothing —
+        28/45 kfdense events interrupted where the reference's duty cycle
+        completes most BAs. This hook now only serves the forced value
+        (tests / stress runs)."""
         if self._force_interrupt_ba is not None:
             return (self._interrupt_true if self._force_interrupt_ba
                     else self._interrupt_false)
-        self._bg_refs = [r for r in self._bg_refs
-                         if not (hasattr(r, "is_ready") and r.is_ready())]
-        backlog = len(self._bg_refs)
-        if backlog >= 2:
-            self.n_ba_interrupts += 1
-            return self._interrupt_true
         return self._interrupt_false
 
     def _note_bg_dispatch(self, ref) -> None:
@@ -1244,9 +1264,11 @@ class SlamSystem:
             arr = np.asarray(packed)
             for frame_idx, row in zip(frame_ids, arr.tolist()):
                 done, which, attempted = row[:3]
-                if len(row) >= 5 and (row[3] or row[4]):
-                    # a KF event's local BA ran (non-KF frames report 0/0)
+                if len(row) >= 6 and row[5]:
+                    # a KF event; n1=n2=0 means its BA was interrupt-skipped
                     self.ba_iters.append((frame_idx, row[3], row[4]))
+                    if not (row[3] or row[4]):
+                        self.n_ba_interrupts += 1
                 if attempted:
                     self.loop_attempts.append((frame_idx, int(which), bool(done)))
                 if done:

@@ -572,7 +572,7 @@ def _ba_iters(stop):
     if stop is None:
         return 5, 10
     stop_i = stop.astype(jnp.int32)
-    return jnp.where(stop_i > 0, 1, 5), jnp.where(stop_i > 0, 1, 10)
+    return jnp.where(stop_i > 0, 0, 5), jnp.where(stop_i > 0, 0, 10)
 
 
 def _ba_optimize(poses, points, prob, cam, wk, it1, it2, axis=None):
@@ -601,10 +601,26 @@ def _local_ba_impl(
     inv_level_sigma2: jnp.ndarray | None = None,
     stop: jnp.ndarray | None = None,
 ):
+    if stop is None:
+        return _local_ba_run(m, center_kf, caps, cam, inv_level_sigma2)
+    # the reference's interruptBA semantics: the stop flag is read at the
+    # solver's ENTRY (optimizer_ceres.cpp:594 `if (stopFlag) return;`) and
+    # the whole local BA — optimization, outlier erasure, write-back — is
+    # skipped, leaving the map untouched
+    zero = jnp.asarray(0, jnp.int32)
+    return jax.lax.cond(
+        stop,
+        lambda mm: (mm, zero, zero),
+        lambda mm: _local_ba_run(mm, center_kf, caps, cam, inv_level_sigma2),
+        m,
+    )
+
+
+def _local_ba_run(m, center_kf, caps, cam, inv_level_sigma2):
     prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
-    it1, it2 = _ba_iters(stop)
+    it1, it2 = _ba_iters(None)
     wk = min(W_KF, m.kf_valid.shape[0])
     poses, points, final_inl, n1, n2 = _ba_optimize(
         poses, points, prob, cam, wk, it1, it2)
@@ -623,11 +639,12 @@ def local_bundle_adjust(
     """Run windowed local BA around center_kf and write results into the map.
 
     stop: optional device bool — the reference's interruptBA analogue
-    (localMapping.cpp:538-541, checked inside Ceres at
-    optimizer_ceres.cpp:594,612): when set, each LM pass is bounded to a
-    single iteration so a backlogged mapping worker can yield quickly; the
-    outlier classification and write-back still run, leaving the map
-    consistent."""
+    (localMapping.cpp:538-541): the flag is read at the solver's ENTRY
+    (optimizer_ceres.cpp:594 `if (stopFlag) return;`) and a raised flag
+    skips the ENTIRE local BA — no optimization, no outlier erasure, no
+    write-back — exactly the reference's yield-to-the-new-keyframe
+    behavior (round-5 revision; the old one-iteration-per-pass analogue
+    both diverged from the reference and starved BA under load)."""
     return _local_ba_impl(m, center_kf, caps, cam, inv_level_sigma2, stop)[0]
 
 
@@ -729,11 +746,21 @@ def local_bundle_adjust_mesh(
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if stop is not None:
+        # entry-check skip, same reference semantics as local_bundle_adjust
+        return jax.lax.cond(
+            stop,
+            lambda mm: mm,
+            lambda mm: local_bundle_adjust_mesh(
+                mm, center_kf, caps, cam, mesh, inv_level_sigma2, None),
+            m,
+        )
+
     ax = mesh.axis_names[0]
     prob = build_problem_ol(m, center_kf, caps, inv_level_sigma2)
     poses = m.kf_pose[jnp.maximum(prob.kf_ids, 0)]
     points = m.pt_pos[jnp.maximum(prob.pt_ids, 0)]
-    it1, it2 = _ba_iters(stop if stop is not None else jnp.asarray(False))
+    it1, it2 = _ba_iters(None)
     wk = min(W_KF, m.kf_valid.shape[0])
     L = prob.pt_ids.shape[0]
     n_dev = mesh.devices.size
