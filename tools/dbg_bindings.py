@@ -43,7 +43,8 @@ def kf_binding_counts(m):
     return (jnp.sum(bound, axis=1), jnp.sum(m.pt_valid),
             jnp.sum(recent), jnp.sum(r_kill), jnp.sum(o_kill),
             jnp.sum(m.pt_valid & (m.pt_obs_cnt <= 2)),
-            jnp.sum(jnp.where(m.pt_valid, m.pt_obs_cnt, 0)))
+            jnp.sum(jnp.where(m.pt_valid, m.pt_obs_cnt, 0)),
+            m.kf_mp[:16], m.pt_valid)
 
 
 def main():
@@ -67,23 +68,47 @@ def main():
             s._flush()
             out = kf_binding_counts(s.map)
             snaps.append((i, np.asarray(out[0]).copy(),
-                          tuple(int(x) for x in out[1:])))
+                          tuple(int(x) for x in out[1:7]),
+                          np.asarray(out[7]).copy(), np.asarray(out[8]).copy()))
     s._flush()
     out = kf_binding_counts(s.map)
     snaps.append((n_frames - 1, np.asarray(out[0]).copy(),
-                  tuple(int(x) for x in out[1:])))
+                  tuple(int(x) for x in out[1:7]),
+                  np.asarray(out[7]).copy(), np.asarray(out[8]).copy()))
 
     _ = s.results()
+    ninl = np.concatenate([np.atleast_1d(np.asarray(o.n_inliers)).ravel()
+                           for o in s._outs])[:n_frames]
+    nmat = np.concatenate([np.atleast_1d(np.asarray(o.n_matches)).ravel()
+                           for o in s._outs])[:n_frames]
+    print(f"tracking n_matches median {np.median(nmat):.0f} "
+          f"p10 {np.percentile(nmat,10):.0f}; n_inliers median "
+          f"{np.median(ninl):.0f} p10 {np.percentile(ninl,10):.0f}")
     print(f"tracked, KFs ever={int(np.asarray(s.map.n_kf_ever))}, "
           f"live points={snaps[-1][2][0]}")
     print("frame | pts recent r<.25 obs<=3 obs<=2 mean_obs | bindings of KF slots 0..9")
-    for i, c, st in snaps:
+    for i, c, st, _, _ in snaps:
         npts, nrec, nrk, nok, no2, obs_sum = st
         print(f"f{i:4d} | {npts:5d} {nrec:5d} {nrk:5d} {nok:5d} {no2:5d} "
               f"{obs_sum/max(npts,1):5.2f} | {c[:10].tolist()}")
+    # binding-loss attribution between consecutive snapshots:
+    # a binding (s,kp) present before and -1 now was lost either because
+    # the point DIED (pt_valid now False) or was UNBOUND while the point
+    # lives (BA chi2 erasure / fuse winner path)
+    print("snapshot-diff binding loss per slot 0..9: (died, unbound-live)")
+    for a, b in zip(snaps[:-1], snaps[1:]):
+        mp0, pv1, mp1 = a[3], b[4], b[3]
+        rows = []
+        for sl in range(10):
+            was = mp0[sl] >= 0
+            lost = was & (mp1[sl] < 0)
+            pts = mp0[sl][lost]
+            died = int((~pv1[pts]).sum())
+            rows.append((died, int(lost.sum()) - died))
+        print(f"f{a[0]:3d}->f{b[0]:3d}: {rows}")
     # decay summary for the first 6 slots
     first = {k: None for k in range(6)}
-    for i, c, _ in snaps:
+    for i, c, *_ in snaps:
         for k in range(6):
             if first[k] is None and c[k] > 0:
                 first[k] = c[k]

@@ -149,7 +149,8 @@ def search_by_projection_kf(
     src_ok = (
         src_valid & (z > 0)
         & (u >= 0) & (u <= width) & (v >= 0) & (v <= height)
-        & (dist >= src_min_dist) & (dist <= src_max_dist)
+        # 0.8/1.2 invariance slack (mappoint.cpp:391-401)
+        & (dist >= 0.8 * src_min_dist) & (dist <= 1.2 * src_max_dist)
     )
     # predictScale (mappoint.cpp:182-199)
     ratio = src_max_dist / jnp.maximum(dist, 1e-9)

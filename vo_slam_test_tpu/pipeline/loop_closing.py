@@ -588,7 +588,8 @@ def _project_points(m, mask, T, cam, scale_factors):
     ok = (
         mask & (z > 0)
         & (u >= 0) & (u <= cam.width) & (v >= 0) & (v <= cam.height)
-        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+        # 0.8/1.2 invariance slack (mappoint.cpp:391-401)
+        & (dist >= 0.8 * m.pt_min_dist) & (dist <= 1.2 * m.pt_max_dist)
     )
     ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
     pred = jnp.clip(

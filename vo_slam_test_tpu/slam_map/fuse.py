@@ -103,7 +103,8 @@ def fuse_into_keyframe(
     view_ok = jnp.sum(line * m.pt_normal, axis=-1) >= 0.5 * dist
     cand &= (
         (z > 0) & (u > 0) & (u < cam.width) & (v > 0) & (v < cam.height)
-        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist) & view_ok
+        # 0.8/1.2 invariance slack (mappoint.cpp:391-401)
+        & (dist >= 0.8 * m.pt_min_dist) & (dist <= 1.2 * m.pt_max_dist) & view_ok
     )
     ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
     pred = jnp.clip(
@@ -303,7 +304,8 @@ def fuse_curr_into_neighbors(
     cand = (
         base_ok[None] & nb_ok[:, None] & ~seen
         & (z > 0) & (u > 0) & (u < cam.width) & (v > 0) & (v < cam.height)
-        & (dist >= p_min[None]) & (dist <= p_max[None]) & view_ok
+        # 0.8/1.2 invariance slack (mappoint.cpp:391-401)
+        & (dist >= 0.8 * p_min[None]) & (dist <= 1.2 * p_max[None]) & view_ok
     )
     ratio = p_max[None] / jnp.maximum(dist, 1e-9)
     pred = jnp.clip(

@@ -119,7 +119,13 @@ def frustum_check(
         (z > 0)
         & (u >= 0) & (u <= cam.width)
         & (v >= 0) & (v <= cam.height)
-        & (dist >= m.pt_min_dist) & (dist <= m.pt_max_dist)
+        # scale-invariance band with the reference's 0.8/1.2 slack
+        # (mappoint.cpp:391-401 getMin/MaxDistanceThreshold) — without it
+        # an octave-0 point (max_d == spawn distance exactly) goes
+        # invisible the moment the camera backs away at all, and new
+        # points never collect a 3rd observation (round-5 root cause of
+        # the binding-decay collapse)
+        & (dist >= 0.8 * m.pt_min_dist) & (dist <= 1.2 * m.pt_max_dist)
         & (view_cos >= 0.5)
         & m.pt_valid
     )
@@ -212,7 +218,8 @@ def search_local_points(
         (z > 0)
         & (c_u >= 0) & (c_u <= cam.width)
         & (c_v >= 0) & (c_v <= cam.height)
-        & (dist >= c_min) & (dist <= c_max)
+        # 0.8/1.2 invariance slack (mappoint.cpp:391-401)
+        & (dist >= 0.8 * c_min) & (dist <= 1.2 * c_max)
         & (c_cos >= 0.5)
     )
     ratio_d = c_max / jnp.maximum(dist, 1e-9)
