@@ -54,8 +54,11 @@ def main():
     # recycling + covis reparenting + Tcp recovery under sustained load
     max_kf = int(os.environ.get("PILOT_MAXKF", "256"))
 
+    texture = float(os.environ.get("PILOT_TEXTURE", "1.0"))
+    seed = int(os.environ.get("PILOT_SEED", "7"))
     traj = room_orbit_trajectory(n_frames, loops=loops)
-    seq = SyntheticRGBD(trajectory=traj, scene="room", seed=7)
+    seq = SyntheticRGBD(trajectory=traj, scene="room", seed=seed,
+                        texture_corners=texture)
     cfg = SlamConfig(
         camera_fx=seq.fx, camera_fy=seq.fy, camera_cx=seq.cx, camera_cy=seq.cy,
         camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,

@@ -680,6 +680,9 @@ def _ba_write_back(m, prob, poses, points, final_inl):
     # ---- erase outlier observations (:757-789) ----------------------------
     # o_col maps each BA slot back to its pt_obs column, so no lookup needed
     bad = (prob.o_valid & ~final_inl).T                 # [L,O_BA]
+    import os as _os
+    if _os.environ.get("VO_DBG_NO_BA_ERASE"):  # diagnosis only: keep all edges
+        bad = jnp.zeros_like(bad)
     K = m.kf_valid.shape[0]
     N = m.kf_mp.shape[1]
     O = m.pt_obs_kf.shape[1]
