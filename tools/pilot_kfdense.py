@@ -56,7 +56,8 @@ def main():
 
     texture = float(os.environ.get("PILOT_TEXTURE", "1.0"))
     seed = int(os.environ.get("PILOT_SEED", "7"))
-    traj = room_orbit_trajectory(n_frames, loops=loops)
+    dwell = float(os.environ.get("PILOT_DWELL", "0.0"))
+    traj = room_orbit_trajectory(n_frames, loops=loops, dwell=dwell)
     seq = SyntheticRGBD(trajectory=traj, scene="room", seed=seed,
                         texture_corners=texture)
     cfg = SlamConfig(

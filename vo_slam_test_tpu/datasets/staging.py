@@ -31,8 +31,11 @@ def _scene_fingerprint(seq) -> str:
         v = getattr(seq, k)
         if isinstance(v, (int, float, str, bool, tuple)):
             items.append(f"{k}={v!r}")
-        elif isinstance(v, np.ndarray) and v.size <= 64:
-            items.append(f"{k}={v.tobytes().hex()}")
+        elif isinstance(v, np.ndarray):
+            # large arrays (e.g. the trajectory) hash by content — a
+            # trajectory change under an unchanged tag must invalidate
+            items.append(
+                f"{k}={hashlib.sha1(np.ascontiguousarray(v)).hexdigest()[:12]}")
     return hashlib.sha1(";".join(items).encode()).hexdigest()[:10]
 
 

@@ -35,6 +35,8 @@ def room_orbit_trajectory(
     loops: float = 1.0,
     bob: float = 0.08,
     wobble: float = 0.15,
+    dwell: float = 0.0,
+    dwell_angle: float = 0.06,
 ) -> np.ndarray:
     """Camera orbit inside the "room" scene: position on a circle of the
     given radius in the x-z plane, looking radially OUTWARD at the walls.
@@ -45,9 +47,22 @@ def room_orbit_trajectory(
     closure opportunity). `bob` adds vertical motion and `wobble` radial
     motion so triangulation has baseline beyond pure rotation.
 
+    `dwell` > 0 spends that fraction of the frames slowly covering only the
+    first `dwell_angle` fraction of the sweep before the full-rate orbit —
+    the fr1_room structure: the loop-closure target region is observed by
+    many tightly-covisible early keyframes (so its map points accumulate
+    observers and survive), then the fast sweep sustains KF density, and
+    the revisit returns to the well-established region.
+
     Returns (N,4,4) T_w_c, suitable for SyntheticRGBD(trajectory=...).
     """
     ts = np.arange(n_frames, dtype=np.float64) / max(n_frames - 1, 1)
+    if dwell > 0:
+        ts = np.where(
+            ts < dwell,
+            ts / dwell * dwell_angle,
+            dwell_angle + (ts - dwell) / (1.0 - dwell) * (1.0 - dwell_angle),
+        )
     poses = np.zeros((n_frames, 4, 4), dtype=np.float32)
     for i, t in enumerate(ts):
         th = 2.0 * np.pi * loops * t
