@@ -89,12 +89,15 @@ def main():
         g, d, _ = seq[i]
         f = ext(g, d)
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = build_vocabulary(np.concatenate(descs), k=8, levels=3, seed=3)
+    voc = build_vocabulary(np.concatenate(descs),
+                           k=int(os.environ.get("DBG_VOC_K", "8")),
+                           levels=int(os.environ.get("DBG_VOC_L", "3")), seed=3)
 
     caps = MapCaps(
         max_kf=int(os.environ.get("DBG_KF", "14" if scenario == "churn" else "32")),
         max_pt=int(os.environ.get("DBG_PT", "8192")))
-    sys_ = SlamSystem(cfg, caps=caps, vocabulary=voc, chunk=4)
+    sys_ = SlamSystem(cfg, caps=caps, vocabulary=voc, chunk=4,
+                      drain_chunk=1)
 
     frames = build_frames(seq, "base" if scenario == "churn" else scenario)
     drift = se3(tx=0.5, ty=0.2, ry=-0.08)

@@ -57,7 +57,13 @@ def main():
     texture = float(os.environ.get("PILOT_TEXTURE", "1.0"))
     seed = int(os.environ.get("PILOT_SEED", "7"))
     dwell = float(os.environ.get("PILOT_DWELL", "0.0"))
-    traj = room_orbit_trajectory(n_frames, loops=loops, dwell=dwell)
+    scenario = os.environ.get("PILOT_SCENARIO", "orbit")
+    if scenario == "pan":
+        from vo_slam_test_tpu.datasets.synthetic import pan_return_trajectory
+
+        traj = pan_return_trajectory(n_frames)
+    else:
+        traj = room_orbit_trajectory(n_frames, loops=loops, dwell=dwell)
     seq = SyntheticRGBD(trajectory=traj, scene="room", seed=seed,
                         texture_corners=texture)
     cfg = SlamConfig(
@@ -65,8 +71,9 @@ def main():
         camera_k1=0, camera_k2=0, camera_p1=0, camera_p2=0, camera_k3=0,
         camera_fps=fps,
     )
-    grays, depths, times = render_all(seq, n_frames, f"orbit{loops}")
-    voc = scene_vocabulary(cfg, grays, depths, f"orbit{loops}_{n_frames}",
+    tag = "pan" if scenario == "pan" else f"orbit{loops}"
+    grays, depths, times = render_all(seq, n_frames, tag)
+    voc = scene_vocabulary(cfg, grays, depths, f"{tag}_{n_frames}",
                            repo_fallback="tools/data/bench_voc.npz")
     from vo_slam_test_tpu.slam_map.map_state import MapCaps
 

@@ -15,15 +15,33 @@ from typing import List, Tuple
 import numpy as np
 
 
-def _make_texture(rng: np.random.Generator, size: int = 1024, n_rect: int = 900) -> np.ndarray:
+def _make_texture(rng: np.random.Generator, size: int = 1024, n_rect: int = 900,
+                  micro: bool = False) -> np.ndarray:
     """High-contrast texture with plenty of FAST corners: random rectangles
-    over filtered noise, lightly smoothed."""
+    over filtered noise, lightly smoothed.
+
+    micro=True adds per-rectangle shading gradients + per-pixel noise so
+    every corner's 31 px descriptor patch is unique (real-surface
+    statistics). Round-5 finding (NOTES): the flat rectangles make
+    repeated corners produce near-identical rBRIEF descriptors under the
+    bit-exact blur path, and the 0.75 searchByBoW ratio test then rejects
+    almost all matches between genuine view pairs (n_bow 10 where Sim3
+    projection verified 367). The micro variant raises the e2e revisit's
+    brute-force ratio-test matches 10 -> 101 — but wholesale switching
+    the default destabilized the orbit bench (ATE 1.4 m), so it stays
+    opt-in until the round-6 retrieval retuning."""
     tex = rng.uniform(80, 150, size=(size, size)).astype(np.float32)
     for _ in range(n_rect):
         x, y = rng.integers(0, size - 40, size=2)
         w, h = rng.integers(6, 40, size=2)
         val = rng.uniform(0, 255)
-        tex[y : y + h, x : x + w] = val
+        if micro:
+            gx, gy = rng.uniform(-3.0, 3.0, size=2)
+            yy, xx = np.mgrid[0:h, 0:w]
+            tex[y : y + h, x : x + w] = (
+                val + gx * xx + gy * yy + rng.uniform(-9.0, 9.0, (h, w)))
+        else:
+            tex[y : y + h, x : x + w] = val
     # small blur to avoid aliasing: box filter 2x2
     tex = 0.25 * (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1) + np.roll(tex, (1, 1), (0, 1)))
     return np.clip(tex, 0, 255)
@@ -56,18 +74,24 @@ def room_orbit_trajectory(
 
     Returns (N,4,4) T_w_c, suitable for SyntheticRGBD(trajectory=...).
     """
-    ts = np.arange(n_frames, dtype=np.float64) / max(n_frames - 1, 1)
+    ts_lin = np.arange(n_frames, dtype=np.float64) / max(n_frames - 1, 1)
     if dwell > 0:
         ts = np.where(
-            ts < dwell,
-            ts / dwell * dwell_angle,
-            dwell_angle + (ts - dwell) / (1.0 - dwell) * (1.0 - dwell_angle),
+            ts_lin < dwell,
+            ts_lin / dwell * dwell_angle,
+            dwell_angle
+            + (ts_lin - dwell) / (1.0 - dwell) * (1.0 - dwell_angle),
         )
+    else:
+        ts = ts_lin
     poses = np.zeros((n_frames, 4, 4), dtype=np.float32)
     for i, t in enumerate(ts):
         th = 2.0 * np.pi * loops * t
-        r = radius + wobble * np.sin(3.1 * th)
-        y = bob * np.sin(2.3 * th)
+        # wobble/bob follow UNWARPED time: during a dwell the camera still
+        # translates (triangulation baseline), it just stops sweeping
+        th_lin = 2.0 * np.pi * loops * ts_lin[i]
+        r = radius + wobble * np.sin(3.1 * th_lin)
+        y = bob * np.sin(2.3 * th_lin)
         p = np.array([r * np.sin(th), y, r * np.cos(th)])
         # camera z = outward radial, y = world y (down), x = y cross z
         zc = np.array([np.sin(th), 0.0, np.cos(th)])
@@ -77,6 +101,70 @@ def room_orbit_trajectory(
         T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = xc, yc, zc, p
         poses[i] = T
     return poses
+
+
+def pan_return_trajectory(
+    n_frames: int,
+    recede: float = 2.6,
+    yaw_max: float = 1.7,
+    z0: float = 1.6,
+) -> np.ndarray:
+    """Recede-pan-return inside the "room" scene (the scaled-up shape of
+    tests/test_loop_e2e.pan_trajectory, whose closure behavior is pinned
+    by the slow suite): start near one wall looking at it, RECEDE so the
+    start view stays in frustum while new peripheral area sustains
+    keyframe creation, pan fully onto the adjacent wall (the start view
+    leaves the frustum entirely), pan back, and keep receding over the
+    old wall. The revisit therefore returns to a region observed by MANY
+    keyframes over a long baseline — the property loop-closure candidate
+    matching (searchByBoW >=20) actually needs, and the structural reason
+    fr1_room closes for the reference.
+
+    Returns (N,4,4) T_w_c.
+    """
+    n_settle = int(0.25 * n_frames)
+    n_out = int(0.25 * n_frames)
+    n_hold = int(0.06 * n_frames)
+    n_back = int(0.25 * n_frames)
+    n_home = n_frames - n_settle - n_out - n_hold - n_back
+    dz = recede / (n_settle + n_home)
+
+    def pose(i, yaw, z, tx=0.0, ty=0.0):
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4, dtype=np.float32)
+        # camera looks along +z rotated by yaw about y
+        T[:3, 0] = np.array([c, 0.0, -s])
+        T[:3, 1] = np.array([0.0, 1.0, 0.0])
+        T[:3, 2] = np.array([s, 0.0, c])
+        T[:3, 3] = np.array([tx, ty, z])
+        return T
+
+    poses = []
+    z = z0
+    k = 0
+    for i in range(n_settle):
+        z -= dz
+        poses.append(pose(k, 0.06 * np.sin(1.1 * i), z,
+                          tx=0.10 * np.sin(0.8 * i), ty=0.08 * np.sin(1.3 * i)))
+        k += 1
+    for i in range(n_out):
+        y = yaw_max * (i + 1) / n_out
+        poses.append(pose(k, y, z, tx=0.05 * np.sin(3.0 * y)))
+        k += 1
+    for i in range(n_hold):
+        poses.append(pose(k, yaw_max, z, tx=0.05 * np.sin(3.0 * yaw_max),
+                          ty=0.03 * np.sin(0.9 * i)))
+        k += 1
+    for i in range(n_back):
+        y = yaw_max * (1.0 - (i + 1) / n_back)
+        poses.append(pose(k, y, z, tx=0.05 * np.sin(3.0 * y)))
+        k += 1
+    for i in range(n_home):
+        z -= dz
+        poses.append(pose(k, 0.05 * np.sin(1.3 * i), z,
+                          tx=0.10 * np.sin(0.9 * i + 2.0), ty=0.08 * np.sin(1.1 * i)))
+        k += 1
+    return np.stack(poses)
 
 
 @dataclasses.dataclass
